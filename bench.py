@@ -1,0 +1,166 @@
+"""Benchmark: users/s channel generation on TPU vs the reference CPU stack.
+
+Workload (BASELINE.json): asu_campus-scale synthetic scenario — 131,931 users
+x 25 paths, 64-antenna BS UPA, OFDM (512-FFT, 64 selected subcarriers),
+isotropic patterns — the "64-ant OFDM" headline config.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "users/s", "vs_baseline": N}
+
+The reference baseline (users/s of jmoraispk/DeepMIMO's generator on the same
+data, same machine, CPU) is measured once on a subsample and cached in
+benchmarks/baseline_reference.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "benchmarks", "baseline_reference.json")
+
+N_UE = 131_931          # asu_campus grid 411 x 321
+MAX_PATHS = 25
+BS_SHAPE = (8, 8)       # 64-antenna UPA
+UE_SHAPE = (1, 1)
+N_FFT = 512
+SEL_SC = tuple(range(64))
+BANDWIDTH = 10e6
+USER_BLOCK = 16_384
+BASELINE_SAMPLE = 384   # users timed through the reference CPU generator
+
+
+def make_data(n_ue, max_paths, seed=7):
+    """Synthetic NaN-padded path matrices (vectorized; fast at 131k users)."""
+    rng = np.random.RandomState(seed)
+    n_valid = rng.randint(1, max_paths + 1, size=n_ue)
+    mask = np.arange(max_paths)[None, :] < n_valid[:, None]
+
+    def mat(lo, hi):
+        a = rng.uniform(lo, hi, (n_ue, max_paths))
+        return np.where(mask, a, np.nan)
+
+    return {
+        "power": mat(-130, -60), "phase": mat(-180, 180),
+        "delay": mat(1e-7, 4e-6),
+        "aoa_az": mat(-180, 180), "aoa_el": mat(0, 180),
+        "aod_az": mat(-180, 180), "aod_el": mat(0, 180),
+    }
+
+
+def bench_tpu(data):
+    import jax
+    import jax.numpy as jnp
+    from deepmimo_tpu.ops.types import PathData, AntennaPanel, ChannelConfig
+    from deepmimo_tpu.ops.channel import render_channels
+
+    cfg = ChannelConfig(bs_shape=BS_SHAPE, ue_shape=UE_SHAPE,
+                        freq_domain=True, subcarriers=N_FFT,
+                        selected_subcarriers=SEL_SC, bandwidth=BANDWIDTH,
+                        num_paths=MAX_PATHS, dtype="complex64")
+    bs = AntennaPanel.make()
+    ue = AntennaPanel.make()
+
+    paths = PathData.from_numpy(**{k: data[k] for k in
+                                   ("power", "phase", "delay", "aoa_az",
+                                    "aoa_el", "aod_az", "aod_el")},
+                                dtype=jnp.float32)
+
+    n_ue = paths.n_ue
+    n_blocks = n_ue // USER_BLOCK
+    n_timed = n_blocks * USER_BLOCK
+
+    render = jax.jit(render_channels, static_argnames=("cfg",))
+
+    # Device-resident input; stream blocks, keep outputs on device (the
+    # serving pattern: consumers read tiles from HBM).
+    dev_paths = jax.device_put(paths)
+    block0 = dev_paths.slice_users(0, USER_BLOCK)
+    out = render(block0, bs, ue, cfg)
+    jax.block_until_ready(out)  # compile warmup
+
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(n_blocks):
+        blk = dev_paths.slice_users(i * USER_BLOCK, USER_BLOCK)
+        outs.append(render(blk, bs, ue, cfg))
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+
+    dev = jax.devices()[0]
+    return n_timed / dt, dt, n_timed, str(dev)
+
+
+def bench_reference(data, n_sample):
+    """Time the reference CPU generator on a subsample; returns users/s."""
+    sys.path.insert(0, "/root/reference")
+    import importlib
+    for mod in list(sys.modules):
+        if mod == "deepmimo" or mod.startswith("deepmimo."):
+            del sys.modules[mod]
+    deepmimo = importlib.import_module("deepmimo")
+    from deepmimo.generator.dataset import Dataset as RefDataset
+    from deepmimo.generator.channel import ChannelGenParameters as RefParams
+
+    sub = {k: np.asarray(v[:n_sample], dtype=np.float32)
+           for k, v in data.items()}
+    ds = RefDataset({
+        "power": sub["power"], "phase": sub["phase"], "delay": sub["delay"],
+        "aoa_az": sub["aoa_az"], "aoa_el": sub["aoa_el"],
+        "aod_az": sub["aod_az"], "aod_el": sub["aod_el"],
+        "rx_pos": np.zeros((n_sample, 3), dtype=np.float32),
+        "tx_pos": np.zeros((1, 3), dtype=np.float32),
+    })
+    params = RefParams()
+    params["bs_antenna"]["shape"] = np.array(BS_SHAPE)
+    params["ue_antenna"]["shape"] = np.array(UE_SHAPE)
+    params["ofdm"]["subcarriers"] = N_FFT
+    params["ofdm"]["selected_subcarriers"] = np.array(SEL_SC)
+    params["ofdm"]["bandwidth"] = BANDWIDTH
+    params["num_paths"] = MAX_PATHS
+
+    t0 = time.perf_counter()
+    ds.compute_channels(params)
+    dt = time.perf_counter() - t0
+    return n_sample / dt
+
+
+def get_baseline(data):
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["users_per_s"]
+    try:
+        ups = bench_reference(data, BASELINE_SAMPLE)
+    except Exception as e:
+        print(f"# baseline measurement failed: {e}", file=sys.stderr)
+        return None
+    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"users_per_s": ups, "sample": BASELINE_SAMPLE,
+                   "config": "64-ant OFDM, 64 subcarriers, 25 paths",
+                   "source": "jmoraispk/DeepMIMO v4.0.0a3 CPU"}, f, indent=2)
+    return ups
+
+
+def main():
+    data = make_data(N_UE, MAX_PATHS)
+    baseline = get_baseline(data)
+    users_per_s, dt, n_timed, dev = bench_tpu(data)
+    print(f"# device={dev} timed_users={n_timed} wall={dt:.3f}s "
+          f"baseline={baseline if baseline else 'n/a'} users/s",
+          file=sys.stderr)
+    result = {
+        "metric": "users/s channel generation "
+                  "(131k users, 64-ant OFDM, 64 subcarriers, 25 paths)",
+        "value": round(users_per_s, 1),
+        "unit": "users/s",
+        "vs_baseline": round(users_per_s / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

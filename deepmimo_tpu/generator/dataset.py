@@ -1,0 +1,656 @@
+"""Dataset: lazy, device-accelerated view of one TX-RX pair's ray data.
+
+Presents the scenario matrices and every derived quantity of the reference
+toolchain (reference deepmimo/generator/dataset.py:69-999) — channels,
+rotated/FoV-filtered angles, pattern-gain powers, pathloss, LoS, path counts,
+interaction strings, grid info, subsetting — with identical keys/aliases and
+NaN-padded presentation, while the heavy computation runs through the jitted
+TPU renderer on masked PathData, streamed over user blocks.
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import consts as c
+from ..config import config
+from ..utils import DotDict
+from ..info import info as _info
+from ..ops import geometry as _geo
+from ..ops import patterns as _pat
+from ..ops.types import PathData
+from ..ops.channel import render_channels
+from .params import ChannelGenParameters
+from .sampling import dbw2watt, get_uniform_idxs
+
+# Parameters shared across datasets inside a MacroDataset
+SHARED_PARAMS = [
+    c.SCENE_PARAM_NAME,
+    c.MATERIALS_PARAM_NAME,
+    c.LOAD_PARAMS_PARAM_NAME,
+    c.RT_PARAMS_PARAM_NAME,
+]
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+class Dataset(DotDict):
+    """Dict-like dataset with lazily computed attributes.
+
+    Primary (loaded) keys: power, phase, delay, aoa_az/el, aod_az/el,
+    rx_pos, tx_pos, inter, inter_pos.
+    Derived keys are computed on first access and cached (same registry
+    contract as the reference `_computed_attributes`).
+    """
+
+    # ------------------------------------------------------------------
+    # 1. Core interface
+    # ------------------------------------------------------------------
+
+    def __init__(self, data: Optional[Dict[str, Any]] = None):
+        super().__init__(data or {})
+
+    def __getattr__(self, key: str) -> Any:
+        try:
+            return super().__getitem__(key)
+        except KeyError:
+            return self._resolve_key(key)
+
+    def __getitem__(self, key: str) -> Any:
+        try:
+            return super().__getitem__(key)
+        except KeyError:
+            return self._resolve_key(key)
+
+    def _resolve_key(self, key: str) -> Any:
+        resolved = c.DATASET_ALIASES.get(key, key)
+        if resolved != key:
+            key = resolved
+            try:
+                return super().__getitem__(key)
+            except KeyError:
+                pass
+        if key in self._computed_attributes:
+            method = getattr(self, self._computed_attributes[key])
+            value = method()
+            if isinstance(value, dict):
+                self.update(value)
+                return super().__getitem__(key)
+            self[key] = value
+            return value
+        raise KeyError(key)
+
+    def __dir__(self):
+        return list(set(list(super().__dir__()) +
+                        list(self._computed_attributes.keys()) +
+                        list(c.DATASET_ALIASES.keys())))
+
+    # ------------------------------------------------------------------
+    # 2. Channel computation
+    # ------------------------------------------------------------------
+
+    def set_channel_params(self, params: Optional[ChannelGenParameters] = None):
+        """Validate and store channel parameters; invalidate stale caches."""
+        if params is None:
+            params = ChannelGenParameters()
+        params.validate(self.n_ue)
+
+        old = (super().__getitem__(c.CH_PARAMS_PARAM_NAME)
+               if c.CH_PARAMS_PARAM_NAME in super().keys() else None)
+        self[c.CH_PARAMS_PARAM_NAME] = params.deepcopy()
+
+        if old is not None:
+            same = True
+            for side in (c.PARAMSET_ANT_BS, c.PARAMSET_ANT_UE):
+                if not np.array_equal(_np(old[side][c.PARAMSET_ANT_ROTATION]),
+                                      _np(params[side][c.PARAMSET_ANT_ROTATION])):
+                    same = False
+            if not same:
+                self._clear_cache_rotated_angles()
+        return params
+
+    def compute_channels(self, params: Optional[ChannelGenParameters] = None,
+                         ) -> np.ndarray:
+        """Compute MIMO channels for every user (the hot path).
+
+        Streams user blocks through the jitted TPU renderer; the result is
+        gathered to host memory as a numpy array and cached under
+        ``dataset.channel``. Shape: [n_ue, n_rx_ant, n_tx_ant, K] (OFDM) or
+        [n_ue, n_rx_ant, n_tx_ant, n_paths] (time domain); an extra trailing
+        time axis appears for multi-snapshot Doppler.
+        """
+        if params is None:
+            stored = self.get(c.CH_PARAMS_PARAM_NAME)
+            params = ChannelGenParameters() if stored is None else stored
+
+        params = self.set_channel_params(params)
+
+        # Deterministic per-user random rotations (toolchain convention).
+        np.random.seed(1001)
+        ue_rotation = params.resolve_ue_rotation(self.n_ue)
+
+        cfg, bs_panel, ue_panel = params.to_config(
+            self.n_ue,
+            bs_fov=self.get("bs_fov"), ue_fov=self.get("ue_fov"),
+            ue_rotation=ue_rotation,
+            dtype=config.get("compute_dtype"))
+
+        channel = _render_streamed(self._path_data(cfg), bs_panel, ue_panel,
+                                   cfg)
+        self[c.CHANNEL_PARAM_NAME] = channel
+        return channel
+
+    def _path_data(self, cfg=None) -> PathData:
+        """Masked device pytree of this dataset's path matrices (cached)."""
+        cached = self.get("_path_data_cache")
+        if cached is not None:
+            return cached
+        import jax.numpy as jnp
+        dtype = (jnp.float64 if config.get("compute_dtype") == "complex128"
+                 else jnp.float32)
+        pd = PathData.from_numpy(
+            power=self[c.POWER_PARAM_NAME],
+            phase=self[c.PHASE_PARAM_NAME],
+            delay=self[c.DELAY_PARAM_NAME],
+            aoa_az=self[c.AOA_AZ_PARAM_NAME],
+            aoa_el=self[c.AOA_EL_PARAM_NAME],
+            aod_az=self[c.AOD_AZ_PARAM_NAME],
+            aod_el=self[c.AOD_EL_PARAM_NAME],
+            doppler_vel=self.get(c.DOPPLER_VEL_PARAM_NAME),
+            doppler_acc=self.get(c.DOPPLER_ACC_PARAM_NAME),
+            dtype=dtype)
+        self["_path_data_cache"] = pd
+        return pd
+
+    # ------------------------------------------------------------------
+    # 3. Geometric computations
+    # ------------------------------------------------------------------
+
+    @property
+    def tx_ori(self) -> np.ndarray:
+        return _np(self.ch_params[c.PARAMSET_ANT_BS][c.PARAMSET_ANT_ROTATION]) \
+            * np.pi / 180
+
+    @property
+    def bs_ori(self) -> np.ndarray:
+        return self.tx_ori
+
+    @property
+    def rx_ori(self) -> np.ndarray:
+        return _np(self.ch_params[c.PARAMSET_ANT_UE][c.PARAMSET_ANT_ROTATION]) \
+            * np.pi / 180
+
+    @property
+    def ue_ori(self) -> np.ndarray:
+        return self.rx_ori
+
+    def _ensure_ch_params(self) -> ChannelGenParameters:
+        stored = self.get(c.CH_PARAMS_PARAM_NAME)
+        if stored is None:
+            stored = self.set_channel_params(None)
+            self[c.CH_PARAMS_PARAM_NAME] = stored
+        return stored
+
+    def _compute_rotated_angles(self) -> Dict[str, np.ndarray]:
+        """Rotated AoD/AoA (radians, NaN-padded presentation)."""
+        params = self._ensure_ch_params()
+        np.random.seed(1001)
+        ue_rotation = params.resolve_ue_rotation(self.n_ue)
+        bs_rotation = _np(params[c.PARAMSET_ANT_BS][c.PARAMSET_ANT_ROTATION])
+
+        aod_el = _np(self[c.AOD_EL_PARAM_NAME], )
+        aod_az = _np(self[c.AOD_AZ_PARAM_NAME])
+        aoa_el = _np(self[c.AOA_EL_PARAM_NAME])
+        aoa_az = _np(self[c.AOA_AZ_PARAM_NAME])
+
+        aod_t, aod_p = _rotate_np(bs_rotation, aod_el, aod_az)
+        aoa_t, aoa_p = _rotate_np(ue_rotation, aoa_el, aoa_az)
+        return {
+            c.AOD_EL_ROT_PARAM_NAME: aod_t,
+            c.AOD_AZ_ROT_PARAM_NAME: aod_p,
+            c.AOA_EL_ROT_PARAM_NAME: aoa_t,
+            c.AOA_AZ_ROT_PARAM_NAME: aoa_p,
+        }
+
+    def _clear_cache_rotated_angles(self) -> None:
+        for k in {c.AOD_EL_ROT_PARAM_NAME, c.AOD_AZ_ROT_PARAM_NAME,
+                  c.AOA_EL_ROT_PARAM_NAME, c.AOA_AZ_ROT_PARAM_NAME} & \
+                set(super().keys()):
+            super().__delitem__(k)
+        self._clear_cache_fov()
+
+    # ------------------------------------------------------------------
+    # 4. Field of view
+    # ------------------------------------------------------------------
+
+    def apply_fov(self, bs_fov: np.ndarray = np.array([360, 180]),
+                  ue_fov: np.ndarray = np.array([360, 180])) -> None:
+        """Set FoV limits; derived quantities recompute lazily."""
+        self._clear_cache_fov()
+        self["bs_fov"] = np.asarray(bs_fov)
+        self["ue_fov"] = np.asarray(ue_fov)
+
+    def _compute_fov(self) -> Dict[str, np.ndarray]:
+        aod_t = self[c.AOD_EL_ROT_PARAM_NAME]
+        aod_p = self[c.AOD_AZ_ROT_PARAM_NAME]
+        aoa_t = self[c.AOA_EL_ROT_PARAM_NAME]
+        aoa_p = self[c.AOA_AZ_ROT_PARAM_NAME]
+
+        bs_fov, ue_fov = self.get("bs_fov"), self.get("ue_fov")
+        bs_full = bs_fov is not None and _geo.is_full_fov(bs_fov)
+        ue_full = ue_fov is not None and _geo.is_full_fov(ue_fov)
+
+        if (bs_fov is None and ue_fov is None) or (bs_full and ue_full):
+            return {
+                c.FOV_MASK_PARAM_NAME: None,
+                c.AOD_EL_FOV_PARAM_NAME: aod_t,
+                c.AOD_AZ_FOV_PARAM_NAME: aod_p,
+                c.AOA_EL_FOV_PARAM_NAME: aoa_t,
+                c.AOA_AZ_FOV_PARAM_NAME: aoa_p,
+            }
+
+        mask = np.ones(aod_t.shape, dtype=bool)
+        if bs_fov is not None and not bs_full:
+            mask &= _fov_np(bs_fov, aod_t, aod_p)
+        if ue_fov is not None and not ue_full:
+            mask &= _fov_np(ue_fov, aoa_t, aoa_p)
+
+        nanw = lambda a: np.where(mask, a, np.nan)
+        return {
+            c.FOV_MASK_PARAM_NAME: mask,
+            c.AOD_EL_FOV_PARAM_NAME: nanw(aod_t),
+            c.AOD_AZ_FOV_PARAM_NAME: nanw(aod_p),
+            c.AOA_EL_FOV_PARAM_NAME: nanw(aoa_t),
+            c.AOA_AZ_FOV_PARAM_NAME: nanw(aoa_p),
+        }
+
+    def _clear_cache_fov(self) -> None:
+        keys = {c.FOV_MASK_PARAM_NAME, c.NUM_PATHS_PARAM_NAME,
+                c.LOS_PARAM_NAME, c.CHANNEL_PARAM_NAME,
+                c.PWR_LINEAR_ANT_GAIN_PARAM_NAME,
+                c.AOD_EL_FOV_PARAM_NAME, c.AOD_AZ_FOV_PARAM_NAME,
+                c.AOA_EL_FOV_PARAM_NAME, c.AOA_AZ_FOV_PARAM_NAME}
+        for k in keys & set(super().keys()):
+            super().__delitem__(k)
+
+    # ------------------------------------------------------------------
+    # 5. Path and power computations
+    # ------------------------------------------------------------------
+
+    def compute_pathloss(self, coherent: bool = True) -> np.ndarray:
+        """Pathloss in dB from a coherent (or incoherent) path-gain sum."""
+        powers_linear = 10 ** (_np(self[c.POWER_PARAM_NAME]) / 10)
+        phases_rad = np.deg2rad(_np(self[c.PHASE_PARAM_NAME]))
+        gains = np.sqrt(powers_linear).astype(np.complex64)
+        if coherent:
+            gains = gains * np.exp(1j * phases_rad)
+        total_power = np.abs(np.nansum(gains, axis=1)) ** 2
+        mask = total_power > 0
+        pathloss = np.full_like(total_power, np.nan, dtype=np.float64)
+        pathloss[mask] = -10 * np.log10(total_power[mask])
+        self[c.PATHLOSS_PARAM_NAME] = pathloss
+        return pathloss
+
+    def _compute_los(self) -> np.ndarray:
+        """LoS status per user: 1 LoS, 0 NLoS, -1 no paths."""
+        inter = _np(self[c.INTERACTIONS_PARAM_NAME])
+        los_status = np.full(inter.shape[0], -1)
+
+        _ = self[c.AOD_AZ_ROT_PARAM_NAME]  # ensure rotated angles exist
+        fov_mask = self[c.FOV_MASK_PARAM_NAME]
+        if fov_mask is not None:
+            has_paths = np.any(fov_mask, axis=1)
+            # First in-FoV path per user (vectorized argmax over the mask).
+            first_idx = np.argmax(fov_mask, axis=1)
+            first_valid = np.where(
+                has_paths, inter[np.arange(inter.shape[0]), first_idx], -1)
+        else:
+            has_paths = _np(self[c.NUM_PATHS_PARAM_NAME]) > 0
+            first_valid = inter[:, 0] if inter.shape[1] else \
+                np.full(inter.shape[0], np.nan)
+
+        los_status[has_paths] = 0
+        los_mask = first_valid == c.INTERACTION_LOS
+        los_status[los_mask & has_paths] = 1
+        return los_status
+
+    def _compute_num_paths(self) -> np.ndarray:
+        aoa_az_fov = self[c.AOA_AZ_FOV_PARAM_NAME]
+        return (~np.isnan(_np(aoa_az_fov))).sum(axis=1)
+
+    def _compute_num_interactions(self) -> np.ndarray:
+        inter = _np(self[c.INTERACTIONS_PARAM_NAME]).astype(np.float64)
+        result = np.zeros_like(inter)
+        result[np.isnan(inter)] = np.nan
+        nz = inter > 0
+        result[nz] = np.floor(np.log10(inter[nz])) + 1
+        return result
+
+    def _compute_inter_int(self) -> np.ndarray:
+        inter = _np(self[c.INTERACTIONS_PARAM_NAME]).astype(np.float64).copy()
+        inter[np.isnan(inter)] = -1
+        return inter.astype(int)
+
+    def _compute_inter_str(self) -> np.ndarray:
+        inter = _np(self[c.INTERACTIONS_PARAM_NAME]).astype(np.float64)
+        table = str.maketrans({"0": "", "1": "R", "2": "D", "3": "S",
+                               "4": "T"})
+
+        def translate(x):
+            if np.isnan(x):
+                return "n"
+            if x == 0:
+                return ""  # LoS: single '0' digit -> empty interaction string
+            return str(int(x)).translate(table)
+
+        return np.vectorize(translate, otypes=[object])(inter)
+
+    def _compute_n_ue(self) -> int:
+        return _np(self[c.RX_POS_PARAM_NAME]).shape[0]
+
+    def _compute_distances(self) -> np.ndarray:
+        return np.linalg.norm(
+            _np(self[c.RX_POS_PARAM_NAME]) - _np(self[c.TX_POS_PARAM_NAME]),
+            axis=1)
+
+    def _compute_power_linear_ant_gain(self) -> np.ndarray:
+        """Linear powers with TX/RX pattern gains at FoV-filtered angles."""
+        params = self._ensure_ch_params()
+        tx_pat = params[c.PARAMSET_ANT_BS][c.PARAMSET_ANT_RAD_PAT]
+        rx_pat = params[c.PARAMSET_ANT_UE][c.PARAMSET_ANT_RAD_PAT]
+
+        power = _np(self[c.PWR_LINEAR_PARAM_NAME])
+        aod_t = _np(self[c.AOD_EL_FOV_PARAM_NAME])
+        aod_p = _np(self[c.AOD_AZ_FOV_PARAM_NAME])
+        aoa_t = _np(self[c.AOA_EL_FOV_PARAM_NAME])
+        aoa_p = _np(self[c.AOA_AZ_FOV_PARAM_NAME])
+
+        gain = (_pattern_np(tx_pat, aod_t, aod_p) *
+                _pattern_np(rx_pat, aoa_t, aoa_p))
+        out = power * gain
+        out[np.isnan(aoa_t)] = np.nan
+        return out
+
+    def _compute_power_linear(self) -> np.ndarray:
+        return dbw2watt(_np(self[c.POWER_PARAM_NAME]))
+
+    # ------------------------------------------------------------------
+    # 6. Grid and sampling
+    # ------------------------------------------------------------------
+
+    def _compute_grid_info(self) -> Dict[str, np.ndarray]:
+        rx_pos = _np(self[c.RX_POS_PARAM_NAME])
+        xs, ys = np.unique(rx_pos[:, 0]), np.unique(rx_pos[:, 1])
+        return {
+            "grid_size": np.array([len(xs), len(ys)]),
+            "grid_spacing": np.array([np.mean(np.diff(xs)),
+                                      np.mean(np.diff(ys))]),
+        }
+
+    def _is_valid_grid(self) -> bool:
+        return np.prod(self["grid_size"]) == self.n_ue
+
+    def subset(self, idxs: np.ndarray) -> "Dataset":
+        """New Dataset restricted to the selected user indices."""
+        idxs = np.asarray(idxs)
+        initial = {}
+        for param in SHARED_PARAMS:
+            if param in super().keys():
+                initial[param] = super().__getitem__(param)
+        initial["n_ue"] = len(idxs)
+        new = Dataset(initial)
+        n_ue = self.n_ue
+        for attr, value in self.to_dict().items():
+            if attr.startswith("_") or attr in SHARED_PARAMS + ["n_ue"]:
+                continue
+            if isinstance(value, np.ndarray) and value.ndim >= 1 and \
+                    value.shape[0] == n_ue:
+                new[attr] = value[idxs]
+            else:
+                new[attr] = value
+        return new
+
+    def get_active_idxs(self) -> np.ndarray:
+        return np.where(_np(self[c.NUM_PATHS_PARAM_NAME]) > 0)[0]
+
+    def get_uniform_idxs(self, steps: List[int]) -> np.ndarray:
+        return get_uniform_idxs(self.n_ue, self["grid_size"], steps)
+
+    # ------------------------------------------------------------------
+    # 7. Visualization passthroughs
+    # ------------------------------------------------------------------
+
+    def plot_coverage(self, cov_map, **kwargs):
+        from .visualization import plot_coverage
+        return plot_coverage(_np(self[c.RX_POS_PARAM_NAME]), cov_map,
+                             bs_pos=_np(self[c.TX_POS_PARAM_NAME]).T,
+                             bs_ori=self.tx_ori, **kwargs)
+
+    def plot_rays(self, idx: int, **kwargs):
+        from .visualization import plot_rays
+        defaults = {"proj_3D": True, "color_by_type": True}
+        defaults.update(kwargs)
+        return plot_rays(_np(self[c.RX_POS_PARAM_NAME])[idx],
+                         _np(self[c.TX_POS_PARAM_NAME])[0],
+                         _np(self[c.INTERACTIONS_POS_PARAM_NAME])[idx],
+                         _np(self[c.INTERACTIONS_PARAM_NAME])[idx],
+                         **defaults)
+
+    # ------------------------------------------------------------------
+    # 8. Registry & info
+    # ------------------------------------------------------------------
+
+    _computed_attributes = {
+        c.N_UE_PARAM_NAME: "_compute_n_ue",
+        c.NUM_PATHS_PARAM_NAME: "_compute_num_paths",
+        c.NUM_INTERACTIONS_PARAM_NAME: "_compute_num_interactions",
+        c.DIST_PARAM_NAME: "_compute_distances",
+        c.PATHLOSS_PARAM_NAME: "compute_pathloss",
+        c.CHANNEL_PARAM_NAME: "compute_channels",
+        c.LOS_PARAM_NAME: "_compute_los",
+        c.CH_PARAMS_PARAM_NAME: "set_channel_params",
+        c.PWR_LINEAR_PARAM_NAME: "_compute_power_linear",
+        c.AOA_AZ_ROT_PARAM_NAME: "_compute_rotated_angles",
+        c.AOA_EL_ROT_PARAM_NAME: "_compute_rotated_angles",
+        c.AOD_AZ_ROT_PARAM_NAME: "_compute_rotated_angles",
+        c.AOD_EL_ROT_PARAM_NAME: "_compute_rotated_angles",
+        "fov": "_compute_fov",
+        c.FOV_MASK_PARAM_NAME: "_compute_fov",
+        c.AOA_AZ_FOV_PARAM_NAME: "_compute_fov",
+        c.AOA_EL_FOV_PARAM_NAME: "_compute_fov",
+        c.AOD_AZ_FOV_PARAM_NAME: "_compute_fov",
+        c.AOD_EL_FOV_PARAM_NAME: "_compute_fov",
+        c.PWR_LINEAR_ANT_GAIN_PARAM_NAME: "_compute_power_linear_ant_gain",
+        "grid_size": "_compute_grid_info",
+        "grid_spacing": "_compute_grid_info",
+        c.INTER_STR_PARAM_NAME: "_compute_inter_str",
+        c.INTER_INT_PARAM_NAME: "_compute_inter_int",
+    }
+
+    def info(self, param_name: Optional[str] = None) -> None:
+        if param_name in c.DATASET_ALIASES:
+            resolved = c.DATASET_ALIASES[param_name]
+            print(f"'{param_name}' is an alias for '{resolved}'")
+            param_name = resolved
+        _info(param_name)
+
+
+# ============================================================================
+# Numpy wrappers over ops (NaN-padded presentation at the Dataset level)
+# ============================================================================
+
+def _rotate_np(rotation_deg, el_deg, az_deg):
+    """rotate_angles with NaN pass-through for padded slots."""
+    import jax.numpy as jnp  # noqa: F401  (ops are jax-backed)
+    el = np.asarray(el_deg, dtype=np.float64)
+    az = np.asarray(az_deg, dtype=np.float64)
+    nan_mask = np.isnan(el)
+    t, p = _geo.rotate_angles(np.asarray(rotation_deg, dtype=np.float64),
+                              np.nan_to_num(el), np.nan_to_num(az))
+    t, p = np.array(t), np.array(p)
+    t[nan_mask] = np.nan
+    p[nan_mask] = np.nan
+    return t, p
+
+
+def _fov_np(fov_deg, theta_rad, phi_rad):
+    theta = np.asarray(theta_rad, dtype=np.float64)
+    phi = np.asarray(phi_rad, dtype=np.float64)
+    nan_mask = np.isnan(theta)
+    mask = np.array(_geo.apply_fov(np.asarray(fov_deg, dtype=np.float64),
+                                   np.nan_to_num(theta),
+                                   np.nan_to_num(phi)))
+    mask[nan_mask] = False
+    return mask
+
+
+def _pattern_np(name, theta_rad, phi_rad):
+    theta = np.asarray(theta_rad, dtype=np.float64)
+    out = np.asarray(_pat.pattern_gain(name, np.nan_to_num(theta),
+                                       np.nan_to_num(np.asarray(phi_rad,
+                                                                dtype=np.float64))),
+                     dtype=np.float64).copy()
+    out[np.isnan(theta)] = np.nan
+    return out
+
+
+# ============================================================================
+# Streaming renderer (host-side batching over user blocks)
+# ============================================================================
+
+def _render_ri(paths, bs_panel, ue_panel, cfg):
+    """Renderer returning stacked (real, imag) planes.
+
+    Some TPU runtimes cannot transfer complex arrays to the host; shipping
+    two real planes and recombining host-side is free (same bytes).
+    """
+    h = render_channels(paths, bs_panel, ue_panel, cfg)
+    return jnp.stack((jnp.real(h), jnp.imag(h)))
+
+
+def _get_complex(out_ri) -> np.ndarray:
+    import jax
+    ri = np.asarray(jax.device_get(out_ri))
+    return ri[0] + 1j * ri[1]
+
+
+def _render_streamed(path_data: PathData, bs_panel, ue_panel, cfg
+                     ) -> np.ndarray:
+    """Run the jitted renderer over fixed-size user blocks and gather to host.
+
+    Fixed block sizes keep a single compiled executable; the last block is
+    padded. Per-user panel rotations are sliced alongside the paths.
+    """
+    import jax
+
+    render = jax.jit(_render_ri, static_argnames=("cfg",))
+    n_ue = path_data.n_ue
+    block = int(config.get("user_block"))
+    per_user_rot = np.asarray(bs_panel.rotation_deg).ndim == 2 or \
+        np.asarray(ue_panel.rotation_deg).ndim == 2
+
+    if n_ue <= block:
+        return _get_complex(render(path_data, bs_panel, ue_panel, cfg))
+
+    chunks = []
+    for start in range(0, n_ue, block):
+        size = min(block, n_ue - start)
+        if size < block:
+            # Pad the tail block to keep the compiled shape.
+            pad = block - size
+            pd = jax.tree_util.tree_map(
+                lambda x: None if x is None else
+                np.concatenate([np.asarray(x)[start:start + size],
+                                np.zeros((pad,) + np.asarray(x).shape[1:],
+                                         dtype=np.asarray(x).dtype)], axis=0),
+                path_data)
+        else:
+            pd = path_data.slice_users(start, block)
+        bsp, uep = bs_panel, ue_panel
+        if per_user_rot:
+            bsp = _slice_panel(bs_panel, start, size, block)
+            uep = _slice_panel(ue_panel, start, size, block)
+        out = _get_complex(render(pd, bsp, uep, cfg))
+        chunks.append(out[:size])
+    return np.concatenate(chunks, axis=0)
+
+
+def _slice_panel(panel, start, size, block):
+    rot = np.asarray(panel.rotation_deg)
+    if rot.ndim != 2:
+        return panel
+    sl = rot[start:start + size]
+    if size < block:
+        sl = np.concatenate(
+            [sl, np.zeros((block - size, 3), dtype=sl.dtype)], axis=0)
+    from ..ops.types import AntennaPanel
+    return AntennaPanel(rotation_deg=type(panel.rotation_deg)(sl)
+                        if not isinstance(sl, np.ndarray) else sl,
+                        spacing=panel.spacing)
+
+
+# ============================================================================
+# MacroDataset
+# ============================================================================
+
+class MacroDataset:
+    """Container propagating attribute/method access to child Datasets."""
+
+    SINGLE_ACCESS_METHODS = {"info"}
+
+    PROPAGATE_METHODS = {
+        name for name, _ in inspect.getmembers(Dataset,
+                                               predicate=inspect.isfunction)
+        if not name.startswith("__")
+    }
+
+    def __init__(self, datasets=None):
+        self.datasets = datasets if datasets is not None else []
+
+    def _get_single(self, key):
+        if not self.datasets:
+            raise IndexError("MacroDataset is empty")
+        return self.datasets[0][key]
+
+    def __getattr__(self, name):
+        if name in self.PROPAGATE_METHODS:
+            if name in self.SINGLE_ACCESS_METHODS:
+                def single_method(*args, **kwargs):
+                    return getattr(self.datasets[0], name)(*args, **kwargs)
+                return single_method
+
+            def propagated(*args, **kwargs):
+                results = [getattr(d, name)(*args, **kwargs)
+                           for d in self.datasets]
+                return results[0] if len(results) == 1 else results
+            return propagated
+
+        if name in SHARED_PARAMS:
+            return self._get_single(name)
+
+        results = [getattr(d, name) for d in self.datasets]
+        return results[0] if len(results) == 1 else results
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, slice)):
+            return self.datasets[idx]
+        if idx in SHARED_PARAMS:
+            return self._get_single(idx)
+        results = [d[idx] for d in self.datasets]
+        return results[0] if len(results) == 1 else results
+
+    def __setitem__(self, key, value):
+        for d in self.datasets:
+            d[key] = value
+
+    def __len__(self):
+        return len(self.datasets)
+
+    def append(self, dataset):
+        self.datasets.append(dataset)

@@ -1,0 +1,7 @@
+"""Multi-chip sharding: meshes, sharded renderers, distributed training."""
+
+from .mesh import make_mesh, default_mesh_shape
+from .sharded import shard_paths, render_channels_sharded, training_step
+
+__all__ = ["make_mesh", "default_mesh_shape", "shard_paths",
+           "render_channels_sharded", "training_step"]

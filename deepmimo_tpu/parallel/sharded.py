@@ -1,0 +1,182 @@
+"""Sharded channel rendering and distributed differentiable calibration.
+
+Two entry points:
+
+- ``render_channels_sharded``: the forward renderer laid out over a
+  (users, tile) mesh — users data-parallel, output subcarriers sharded over
+  the tile axis. XLA partitions the einsum; no manual collectives needed.
+
+- ``training_step``: one step of gradient-based calibration of the channel
+  model (array geometry + per-path parameter corrections) against target
+  channels. Per-user path gradients stay local to each shard; shared
+  parameter gradients (panel rotation/spacing) are all-reduced over ICI by
+  XLA's partitioner, overlapped with the backward pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.types import PathData, AntennaPanel, ChannelConfig
+from ..ops.channel import render_channels
+from .mesh import USERS_AXIS, TILE_AXIS, user_sharding, replicated
+
+
+def shard_paths(paths: PathData, mesh: Mesh) -> PathData:
+    """Device-put PathData with the user axis sharded across the mesh."""
+    sh = user_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: None if x is None else jax.device_put(x, sh), paths)
+
+
+def _panel_sharding(panel: AntennaPanel, mesh: Mesh):
+    """Per-user rotations shard over users; shared panels replicate."""
+    rot_spec = P(USERS_AXIS, None) if panel.rotation_deg.ndim == 2 else P()
+    return AntennaPanel(rotation_deg=NamedSharding(mesh, rot_spec),
+                        spacing=NamedSharding(mesh, P()))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _render_sharded(paths, bs, ue, cfg, mesh):
+    h = render_channels(paths, bs, ue, cfg)
+    # Constrain the output layout: users over the dp axis, last (subcarrier)
+    # axis over the tile axis, so downstream consumers keep tiles in HBM.
+    spec = [USERS_AXIS] + [None] * (h.ndim - 2) + [TILE_AXIS]
+    return jax.lax.with_sharding_constraint(h, NamedSharding(mesh, P(*spec)))
+
+
+def render_channels_sharded(paths: PathData, bs: AntennaPanel,
+                            ue: AntennaPanel, cfg: ChannelConfig,
+                            mesh: Mesh) -> jax.Array:
+    """Render channels with users sharded across the mesh.
+
+    The per-user computation is embarrassingly parallel, so XLA partitions
+    it with zero communication; only the output layout constraint introduces
+    (sub-channel) collectives when tile > 1.
+    """
+    paths = shard_paths(paths, mesh)
+    return _render_sharded(paths, bs, ue, cfg, mesh)
+
+
+# ============================================================================
+# Distributed differentiable calibration (the "training step")
+# ============================================================================
+
+class CalibParams(NamedTuple):
+    """Learnable parameters of the channel model.
+
+    Panel geometry (shared across users; grads all-reduced) plus per-path
+    corrections to the ray parameters (sharded with the users).
+    """
+
+    bs: AntennaPanel
+    ue: AntennaPanel
+    d_power_dbw: jax.Array    # [U, P]
+    d_phase_deg: jax.Array    # [U, P]
+    d_delay_ns: jax.Array     # [U, P] (nanoseconds, for conditioning)
+    d_angles_deg: jax.Array   # [U, P, 4]: aoa_az, aoa_el, aod_az, aod_el
+
+
+def init_calib_params(paths: PathData, bs: AntennaPanel,
+                      ue: AntennaPanel) -> CalibParams:
+    u, p = paths.power_dbw.shape
+    z = jnp.zeros((u, p), dtype=paths.power_dbw.dtype)
+    return CalibParams(bs=bs, ue=ue, d_power_dbw=z, d_phase_deg=z,
+                       d_delay_ns=z,
+                       d_angles_deg=jnp.zeros((u, p, 4), dtype=z.dtype))
+
+
+def _apply_calib(paths: PathData, params: CalibParams) -> PathData:
+    da = params.d_angles_deg
+    return PathData(
+        power_dbw=paths.power_dbw + params.d_power_dbw,
+        phase_deg=paths.phase_deg + params.d_phase_deg,
+        delay_s=paths.delay_s + params.d_delay_ns * 1e-9,
+        aoa_az_deg=paths.aoa_az_deg + da[..., 0],
+        aoa_el_deg=paths.aoa_el_deg + da[..., 1],
+        aod_az_deg=paths.aod_az_deg + da[..., 2],
+        aod_el_deg=paths.aod_el_deg + da[..., 3],
+        valid=paths.valid,
+        doppler_vel=paths.doppler_vel,
+        doppler_acc=paths.doppler_acc,
+    )
+
+
+def calib_loss(params: CalibParams, paths: PathData, target: jax.Array,
+               cfg: ChannelConfig) -> jax.Array:
+    """Normalized mean squared complex error vs the target channels.
+
+    Normalizing by the target power makes the loss (and useful learning
+    rates) independent of the absolute pathloss scale (~1e-10 W powers).
+    """
+    h = render_channels(_apply_calib(paths, params), params.bs, params.ue,
+                        cfg)
+    err = h - target
+    num = jnp.mean(jnp.real(err * jnp.conj(err)))
+    den = jnp.mean(jnp.real(target * jnp.conj(target))) + 1e-30
+    return num / den
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "lr"))
+def training_step(params: CalibParams, paths: PathData, target: jax.Array,
+                  cfg: ChannelConfig, lr: float = 1e-3
+                  ) -> Tuple[CalibParams, jax.Array]:
+    """One SGD step of channel-model calibration.
+
+    Under a mesh, per-user leaves keep their user sharding and the shared
+    panel gradients are all-reduced automatically (psum over the users axis,
+    overlapped with backward by XLA's scheduler).
+    """
+    loss, grads = jax.value_and_grad(calib_loss)(params, paths, target, cfg)
+    new_params = jax.tree_util.tree_map(
+        lambda p, g: p - lr * g if g is not None else p, params, grads)
+    return new_params, loss
+
+
+def make_sharded_training_step(mesh: Mesh, cfg: ChannelConfig,
+                               lr: float = 1e-3):
+    """Build a jitted training step with explicit mesh shardings.
+
+    Returns (step_fn, place_fn): ``place_fn(params, paths, target)`` puts
+    the training state on the mesh with users sharded; ``step_fn`` runs one
+    update.
+    """
+    u_sh = user_sharding(mesh)
+    r_sh = replicated(mesh)
+
+    def place(params: CalibParams, paths: PathData, target: jax.Array):
+        def put_user(x):
+            return None if x is None else jax.device_put(x, u_sh)
+
+        paths = jax.tree_util.tree_map(put_user, paths)
+        target_spec = [USERS_AXIS] + [None] * (target.ndim - 2) + [TILE_AXIS]
+        target = jax.device_put(
+            target, NamedSharding(mesh, P(*target_spec)))
+        params = CalibParams(
+            bs=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, r_sh), params.bs),
+            ue=jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x, u_sh if getattr(x, "ndim", 0) == 2 else r_sh),
+                params.ue),
+            d_power_dbw=put_user(params.d_power_dbw),
+            d_phase_deg=put_user(params.d_phase_deg),
+            d_delay_ns=put_user(params.d_delay_ns),
+            d_angles_deg=put_user(params.d_angles_deg),
+        )
+        return params, paths, target
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(params, paths, target):
+        loss, grads = jax.value_and_grad(calib_loss)(params, paths, target,
+                                                     cfg)
+        return jax.tree_util.tree_map(
+            lambda p, g: p - lr * g if g is not None else p,
+            params, grads), loss
+
+    return step, place

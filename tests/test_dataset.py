@@ -1,0 +1,221 @@
+"""End-to-end tests: scenario on disk -> load -> Dataset -> channels."""
+
+import numpy as np
+import pytest
+
+import deepmimo_tpu as dm
+from deepmimo_tpu import consts as c
+from oracle import oracle_channels
+from scenario_utils import write_synthetic_scenario
+
+
+@pytest.fixture(scope="module")
+def scenario(tmp_path_factory):
+    folder = str(tmp_path_factory.mktemp("scen") / "synthetic_city")
+    data = write_synthetic_scenario(folder, n_ue=32, max_paths=8, seed=42)
+    return folder, data
+
+
+def test_load_scenario(scenario):
+    folder, data = scenario
+    ds = dm.load(folder)
+    assert ds.n_ue == 32
+    assert np.asarray(ds.power).shape == (32, 8)
+    np.testing.assert_allclose(np.asarray(ds.rx_pos), data["rx_pos"],
+                               atol=1e-5)
+    assert ds.txrx["tx_set_id"] == 0
+
+
+def test_load_with_rx_subset_and_max_paths(scenario):
+    folder, data = scenario
+    ds = dm.load(folder, rx_sets={1: [0, 3, 5]}, max_paths=4)
+    assert ds.n_ue == 3
+    assert np.asarray(ds.power).shape == (3, 4)
+    np.testing.assert_allclose(
+        np.asarray(ds.power),
+        np.float32(data["power"][[0, 3, 5], :4]), atol=1e-6)
+
+
+def test_compute_channels_matches_oracle(scenario):
+    folder, data = scenario
+    ds = dm.load(folder)
+    params = dm.ChannelGenParameters()
+    params[c.PARAMSET_ANT_BS][c.PARAMSET_ANT_SHAPE] = np.array([4, 2])
+    params[c.PARAMSET_OFDM][c.PARAMSET_OFDM_SC_SAMP] = np.arange(4)
+    ch = ds.compute_channels(params)
+    assert ch.shape == (32, 1, 8, 4)
+
+    # Oracle on the float32-rounded disk data
+    f32 = {k: np.float32(np.asarray(data[k])) for k in
+           ("power", "phase", "delay", "aoa_az", "aoa_el", "aod_az",
+            "aod_el")}
+    ref = oracle_channels(**f32, bs_shape=(4, 2), ue_shape=(1, 1),
+                          freq_domain=True, n_fft=512,
+                          selected_subcarriers=tuple(range(4)),
+                          num_paths=25)
+    scale = max(np.abs(ref).max(), 1e-30)
+    np.testing.assert_allclose(ch, ref, atol=2e-5 * scale)
+    # cached
+    assert ds.channel is ch
+
+
+def test_derived_quantities(scenario):
+    folder, data = scenario
+    ds = dm.load(folder)
+
+    # power linear
+    np.testing.assert_allclose(
+        np.asarray(ds.power_linear),
+        10 ** (np.float32(data["power"]) / 10), rtol=1e-5)
+
+    # num_paths equals per-user valid count
+    np.testing.assert_array_equal(np.asarray(ds.num_paths),
+                                  data["n_valid"])
+
+    # distances
+    np.testing.assert_allclose(
+        np.asarray(ds.distance),
+        np.linalg.norm(data["rx_pos"] - data["tx_pos"], axis=1), rtol=1e-5)
+
+    # LoS: even users with >=1 path are LoS, odd users NLoS, empty -> -1
+    los = np.asarray(ds.los)
+    for u in range(32):
+        if data["n_valid"][u] == 0:
+            assert los[u] == -1
+        elif u % 2 == 0:
+            assert los[u] == 1
+        else:
+            assert los[u] == 0
+
+    # grid info
+    np.testing.assert_array_equal(ds.grid_size, [8, 4])
+    np.testing.assert_allclose(ds.grid_spacing, [2.0, 2.0])
+
+    # pathloss finite wherever there are paths
+    pl = np.asarray(ds.pathloss)
+    assert np.all(np.isfinite(pl[data["n_valid"] > 0]))
+
+    # interaction helpers
+    n_int = np.asarray(ds.num_interactions)
+    inter = data["inter"]
+    nz = ~np.isnan(inter) & (inter > 0)
+    np.testing.assert_allclose(n_int[nz],
+                               np.floor(np.log10(inter[nz])) + 1)
+    strs = ds.inter_str
+    assert strs[0][0] == ""  # user 0, path 0 is LoS
+    ii = np.asarray(ds.inter_int)
+    assert np.all(ii[np.isnan(inter)] == -1)
+
+
+def test_aliases(scenario):
+    folder, _ = scenario
+    ds = dm.load(folder)
+    np.testing.assert_array_equal(np.asarray(ds.pwr), np.asarray(ds.power))
+    np.testing.assert_array_equal(np.asarray(ds["rx_loc"]),
+                                  np.asarray(ds.rx_pos))
+    np.testing.assert_array_equal(np.asarray(ds.n_paths),
+                                  np.asarray(ds.num_paths))
+
+
+def test_fov_filtering_changes_num_paths(scenario):
+    folder, _ = scenario
+    ds = dm.load(folder)
+    n0 = np.asarray(ds.num_paths).copy()
+    ds.apply_fov(bs_fov=np.array([90, 60]))
+    n1 = np.asarray(ds.num_paths)
+    assert n1.sum() < n0.sum()
+    mask = ds[c.FOV_MASK_PARAM_NAME]
+    assert mask is not None
+    np.testing.assert_array_equal(n1, mask.sum(axis=1))
+    # restore full FoV: mask becomes None again
+    ds.apply_fov()
+    assert ds[c.FOV_MASK_PARAM_NAME] is None
+    np.testing.assert_array_equal(np.asarray(ds.num_paths), n0)
+
+
+def test_subset(scenario):
+    folder, data = scenario
+    ds = dm.load(folder)
+    sub = ds.subset(np.array([1, 2, 5]))
+    assert sub.n_ue == 3
+    np.testing.assert_allclose(np.asarray(sub.power),
+                               np.asarray(ds.power)[[1, 2, 5]])
+
+
+def test_uniform_and_active_sampling(scenario):
+    folder, data = scenario
+    ds = dm.load(folder)
+    idxs = ds.get_uniform_idxs([2, 2])
+    assert len(idxs) == 8  # 8x4 grid subsampled 2x2
+    active = ds.get_active_idxs()
+    np.testing.assert_array_equal(active, np.where(data["n_valid"] > 0)[0])
+
+
+def test_channel_params_rotation_invalidate(scenario):
+    folder, _ = scenario
+    ds = dm.load(folder)
+    p1 = dm.ChannelGenParameters()
+    ds.compute_channels(p1)
+    rot0 = np.asarray(ds[c.AOD_AZ_ROT_PARAM_NAME]).copy()
+
+    p2 = dm.ChannelGenParameters()
+    p2[c.PARAMSET_ANT_BS][c.PARAMSET_ANT_ROTATION] = np.array([0, 0, 90])
+    ds.compute_channels(p2)
+    rot1 = np.asarray(ds[c.AOD_AZ_ROT_PARAM_NAME])
+    assert not np.allclose(np.nan_to_num(rot0), np.nan_to_num(rot1))
+
+
+def test_time_domain_channel(scenario):
+    folder, data = scenario
+    ds = dm.load(folder)
+    params = dm.ChannelGenParameters()
+    params[c.PARAMSET_FD_CH] = 0
+    ch = ds.compute_channels(params)
+    assert ch.shape == (32, 1, 8, 8)
+    # TD gains magnitude = sqrt(linear power), packed to front
+    u = int(np.argmax(data["n_valid"]))
+    nv = data["n_valid"][u]
+    expected = np.sqrt(10 ** (np.float32(data["power"][u, :nv]) / 10))
+    got = np.abs(ch[u, 0, 0, :nv])
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+    assert np.all(ch[u, :, :, nv:] == 0)
+
+
+def test_doppler_scenario_end_to_end(tmp_path):
+    folder = str(tmp_path / "dop_scen")
+    data = write_synthetic_scenario(folder, n_ue=8, max_paths=4, seed=7,
+                                    with_doppler=True, grid=(4, 2))
+    ds = dm.load(folder)
+    assert c.DOPPLER_VEL_PARAM_NAME in ds.keys()
+    params = dm.ChannelGenParameters()
+    params[c.PARAMSET_DOPPLER_EN] = 1
+    params[c.PARAMSET_DOPPLER_TIMES] = np.array([0.0, 1e-3])
+    ch = ds.compute_channels(params)
+    assert ch.shape == (8, 1, 8, 1, 2)
+    assert np.isfinite(ch).all()
+
+
+def test_macro_dataset_multi_tx(tmp_path):
+    """Two TX points in the tx set -> MacroDataset with two children."""
+    folder = str(tmp_path / "multi_tx")
+    data = write_synthetic_scenario(folder, n_ue=8, max_paths=4, seed=3,
+                                    grid=(4, 2))
+    # Add matrices for a second TX and patch params.json
+    from deepmimo_tpu.converter.converter_utils import save_mat, save_params
+    from deepmimo_tpu.utils import load_dict_from_json
+    for key in (c.POWER_PARAM_NAME, c.PHASE_PARAM_NAME, c.DELAY_PARAM_NAME,
+                c.AOA_AZ_PARAM_NAME, c.AOA_EL_PARAM_NAME,
+                c.AOD_AZ_PARAM_NAME, c.AOD_EL_PARAM_NAME,
+                c.RX_POS_PARAM_NAME, c.TX_POS_PARAM_NAME,
+                c.INTERACTIONS_PARAM_NAME, c.INTERACTIONS_POS_PARAM_NAME):
+        save_mat(data[key], key, folder, tx_set_idx=0, tx_idx=1, rx_set_idx=1)
+    params = load_dict_from_json(folder + "/params.json")
+    params[c.TXRX_PARAM_NAME]["txrx_set_0"][c.TXRX_PARAM_NUM_POINTS] = 2
+    save_params(params, folder)
+
+    ds = dm.load(folder)
+    assert isinstance(ds, dm.MacroDataset)
+    assert len(ds) == 2
+    chs = ds.compute_channels()
+    assert len(chs) == 2
+    np.testing.assert_allclose(chs[0], chs[1], atol=1e-7)
