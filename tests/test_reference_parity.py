@@ -1,0 +1,207 @@
+"""Golden-oracle parity: our channels vs the actual reference generator.
+
+Imports the upstream package from /root/reference (read-only) and runs its
+CPU generator on the same synthetic ray data, sweeping the BASELINE config
+matrix. This is the toolchain-equivalence guarantee: a reference user gets
+the same channels (to f32 accumulation tolerance — the reference accumulates
+in csingle) from the TPU build.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import deepmimo_tpu as dm
+from deepmimo_tpu import consts as c
+from deepmimo_tpu.config import config
+from oracle import make_synthetic_paths
+
+REFERENCE_PATH = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE_PATH, "deepmimo")),
+    reason="reference package not available")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    sys.path.insert(0, REFERENCE_PATH)
+    import importlib
+    for mod in list(sys.modules):
+        if mod == "deepmimo" or mod.startswith("deepmimo."):
+            del sys.modules[mod]
+    mod = importlib.import_module("deepmimo")
+    yield mod
+    sys.path.remove(REFERENCE_PATH)
+    for name in list(sys.modules):
+        if name == "deepmimo" or name.startswith("deepmimo."):
+            del sys.modules[name]
+
+
+def _ref_channels(ref, data, params_fn):
+    from deepmimo.generator.dataset import Dataset as RefDataset
+    from deepmimo.generator.channel import ChannelGenParameters as RefParams
+
+    n_ue = data["power"].shape[0]
+    ds = RefDataset({k: np.asarray(data[k], dtype=np.float32)
+                     for k in ("power", "phase", "delay", "aoa_az", "aoa_el",
+                               "aod_az", "aod_el")} |
+                    {"rx_pos": np.zeros((n_ue, 3), dtype=np.float32),
+                     "tx_pos": np.zeros((1, 3), dtype=np.float32)})
+    params = RefParams()
+    params_fn(params)
+    return np.asarray(ds.compute_channels(params))
+
+
+def _our_channels(data, params_fn, fov=None):
+    ds = dm.Dataset({k: np.asarray(data[k], dtype=np.float32)
+                     for k in ("power", "phase", "delay", "aoa_az", "aoa_el",
+                               "aod_az", "aod_el")} |
+                    {"rx_pos": np.zeros((data["power"].shape[0], 3),
+                                        dtype=np.float32),
+                     "tx_pos": np.zeros((1, 3), dtype=np.float32)})
+    if fov is not None:
+        ds.apply_fov(*fov)
+    params = dm.ChannelGenParameters()
+    params_fn(params)
+    old = config.get("compute_dtype")
+    config.set("compute_dtype", "complex128")
+    try:
+        return ds.compute_channels(params)
+    finally:
+        config.set("compute_dtype", old)
+
+
+def _compare(ref_ch, our_ch, rtol=3e-5):
+    assert ref_ch.shape == our_ch.shape
+    scale = max(np.abs(ref_ch).max(), 1e-30)
+    np.testing.assert_allclose(our_ch, ref_ch, atol=rtol * scale)
+
+
+DATA = make_synthetic_paths(n_ue=48, max_paths=10, seed=77)
+
+
+def test_parity_default_params(ref):
+    def setp(p):
+        pass
+    _compare(_ref_channels(ref, DATA, setp), _our_channels(DATA, setp))
+
+
+def test_parity_mimo_subcarriers(ref):
+    def setp(p):
+        p["bs_antenna"]["shape"] = np.array([4, 2])
+        p["ue_antenna"]["shape"] = np.array([2, 1])
+        p["ofdm"]["subcarriers"] = 64
+        p["ofdm"]["selected_subcarriers"] = np.arange(0, 64, 8)
+        p["num_paths"] = 10
+    _compare(_ref_channels(ref, DATA, setp), _our_channels(DATA, setp))
+
+
+def test_parity_num_paths_trim(ref):
+    def setp(p):
+        p["num_paths"] = 5
+    _compare(_ref_channels(ref, DATA, setp), _our_channels(DATA, setp))
+
+
+def test_parity_fixed_rotation_and_spacing(ref):
+    def setp(p):
+        p["bs_antenna"]["shape"] = np.array([8, 1])
+        p["bs_antenna"]["rotation"] = np.array([10, 20, 30])
+        p["bs_antenna"]["spacing"] = 0.7
+        p["ue_antenna"]["rotation"] = np.array([-5, 15, 60])
+    _compare(_ref_channels(ref, DATA, setp), _our_channels(DATA, setp))
+
+
+def test_parity_random_per_user_rotation(ref):
+    """[3, 2] spec draws per-user rotations under seed 1001 in both stacks."""
+    def setp(p):
+        p["ue_antenna"]["rotation"] = np.array([[0, 30], [30, 60], [60, 90]])
+    _compare(_ref_channels(ref, DATA, setp), _our_channels(DATA, setp))
+
+
+def test_parity_halfwave_dipole(ref):
+    def setp(p):
+        p["bs_antenna"]["radiation_pattern"] = "halfwave-dipole"
+        p["ue_antenna"]["radiation_pattern"] = "halfwave-dipole"
+        p["bs_antenna"]["shape"] = np.array([2, 2])
+    _compare(_ref_channels(ref, DATA, setp), _our_channels(DATA, setp))
+
+
+def test_parity_time_domain(ref):
+    def setp(p):
+        p["freq_domain"] = 0
+        p["bs_antenna"]["shape"] = np.array([4, 1])
+    _compare(_ref_channels(ref, DATA, setp), _our_channels(DATA, setp))
+
+
+def test_parity_lpf_rx_filter(ref):
+    def setp(p):
+        p["ofdm"]["subcarriers"] = 64
+        p["ofdm"]["selected_subcarriers"] = np.arange(4)
+        p["ofdm"]["rx_filter"] = 1
+    _compare(_ref_channels(ref, DATA, setp), _our_channels(DATA, setp),
+             rtol=1e-4)
+
+
+def test_parity_with_fov(ref):
+    """FoV path: reference filters via dataset.apply_fov, ours likewise."""
+    from deepmimo.generator.dataset import Dataset as RefDataset
+    from deepmimo.generator.channel import ChannelGenParameters as RefParams
+
+    n_ue = DATA["power"].shape[0]
+    rng = np.random.RandomState(5)
+    inter = np.where(np.isnan(DATA["power"]), np.nan,
+                     rng.randint(0, 3, DATA["power"].shape).astype(float))
+    base = {k: np.asarray(DATA[k], dtype=np.float32)
+            for k in ("power", "phase", "delay", "aoa_az", "aoa_el",
+                      "aod_az", "aod_el")} | \
+        {"rx_pos": np.zeros((n_ue, 3), dtype=np.float32),
+         "tx_pos": np.zeros((1, 3), dtype=np.float32),
+         "inter": inter}
+
+    rds = RefDataset(dict(base))
+    rds.apply_fov(bs_fov=np.array([120, 90]), ue_fov=np.array([360, 180]))
+    rp = RefParams()
+    rp["bs_antenna"]["shape"] = np.array([4, 1])
+    ref_ch = np.asarray(rds.compute_channels(rp))
+
+    def setp(p):
+        p["bs_antenna"]["shape"] = np.array([4, 1])
+    our_ch = _our_channels(DATA, setp,
+                           fov=(np.array([120, 90]), np.array([360, 180])))
+    _compare(ref_ch, our_ch)
+
+    # Derived quantities agree too
+    ods = dm.Dataset(dict(base))
+    ods.apply_fov(np.array([120, 90]), np.array([360, 180]))
+    np.testing.assert_array_equal(np.asarray(ods.num_paths),
+                                  np.asarray(rds.num_paths))
+    np.testing.assert_array_equal(np.asarray(ods.los), np.asarray(rds.los))
+
+
+def test_parity_pathloss_and_los(ref):
+    from deepmimo.generator.dataset import Dataset as RefDataset
+
+    n_ue = DATA["power"].shape[0]
+    rng = np.random.RandomState(3)
+    inter = np.where(np.isnan(DATA["power"]), np.nan,
+                     rng.randint(0, 3, DATA["power"].shape).astype(float))
+    base = {k: np.asarray(DATA[k], dtype=np.float32)
+            for k in ("power", "phase", "delay", "aoa_az", "aoa_el",
+                      "aod_az", "aod_el")} | \
+        {"rx_pos": rng.uniform(-50, 50, (n_ue, 3)).astype(np.float32),
+         "tx_pos": np.array([[0, 0, 10]], dtype=np.float32),
+         "inter": inter}
+
+    rds = RefDataset(dict(base))
+    ods = dm.Dataset(dict(base))
+
+    np.testing.assert_allclose(np.asarray(ods.pathloss),
+                               np.asarray(rds.pathloss), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ods.los), np.asarray(rds.los))
+    np.testing.assert_allclose(np.asarray(ods.distance),
+                               np.asarray(rds.distance), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ods.num_paths),
+                                  np.asarray(rds.num_paths))
