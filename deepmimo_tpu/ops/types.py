@@ -153,6 +153,10 @@ class ChannelConfig:
     compact_td_paths: bool = True
     # Precision of the complex output
     dtype: str = "complex64"
+    # Matmul input precision for the path-sum ("float32" keeps ~1e-6
+    # relative accuracy; "bfloat16" is ~2x faster at ~4e-3 relative —
+    # accumulation is always float32)
+    matmul_dtype: str = "float32"
 
     @property
     def n_rx_ant(self) -> int:
