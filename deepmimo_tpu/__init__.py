@@ -62,6 +62,7 @@ from .materials import Material, MaterialList
 from .scene import Face, PhysicalElement, PhysicalElementGroup, Scene
 
 from .converter import convert
+from .integrations import DeepMIMOSionnaAdapter, export_matlab
 from .info import info
 from .summary import summary, plot_summary
 from .api import upload, upload_rt_source, upload_images, download, search
@@ -85,6 +86,8 @@ __all__ = [
     # Scene / materials
     "Face", "PhysicalElement", "PhysicalElementGroup", "Scene",
     "Material", "MaterialList",
+    # Integrations
+    "DeepMIMOSionnaAdapter", "export_matlab",
     # Summary / database
     "summary", "plot_summary",
     "upload", "upload_rt_source", "upload_images", "download", "search",

@@ -141,10 +141,48 @@ class Dataset(DotDict):
             ue_rotation=ue_rotation,
             dtype=config.get("compute_dtype"))
 
-        channel = _render_streamed(self._path_data(cfg), bs_panel, ue_panel,
-                                   cfg)
+        if params.get(c.PARAMSET_POLAR_EN, 0):
+            channel = self._compute_dual_polar(cfg, bs_panel, ue_panel)
+        else:
+            channel = _render_streamed(self._path_data(cfg), bs_panel,
+                                       ue_panel, cfg)
         self[c.CHANNEL_PARAM_NAME] = channel
         return channel
+
+    def _compute_dual_polar(self, cfg, bs_panel, ue_panel):
+        """Dual-polarization channels: {'VV','VH','HH','HV'} -> H.
+
+        Requires per-polarization power/phase matrices (``power_vv``,
+        ``phase_vv``, ...) in the scenario; angles and delays are shared
+        across polarizations (v3 semantics, reference
+        deepmimo_v3/generator/python/generator.py:71-78).
+        """
+        pols = ("VV", "VH", "HH", "HV")
+        missing = [p for p in pols
+                   if f"power_{p.lower()}" not in super().keys()]
+        if missing:
+            raise ValueError(
+                "Dual-polarization requested but the scenario has no "
+                f"per-polarization matrices for {missing}. Expected keys "
+                "like 'power_vv'/'phase_vv'.")
+        channels = {}
+        for pol in pols:
+            pd = self._path_data(cfg)
+            pol_power = _np(self[f"power_{pol.lower()}"])
+            pol_phase = _np(self.get(f"phase_{pol.lower()}",
+                                     self[c.PHASE_PARAM_NAME]))
+            pd = PathData.from_numpy(
+                power=pol_power, phase=pol_phase,
+                delay=_np(self[c.DELAY_PARAM_NAME]),
+                aoa_az=_np(self[c.AOA_AZ_PARAM_NAME]),
+                aoa_el=_np(self[c.AOA_EL_PARAM_NAME]),
+                aod_az=_np(self[c.AOD_AZ_PARAM_NAME]),
+                aod_el=_np(self[c.AOD_EL_PARAM_NAME]),
+                doppler_vel=self.get(c.DOPPLER_VEL_PARAM_NAME),
+                doppler_acc=self.get(c.DOPPLER_ACC_PARAM_NAME),
+                dtype=pd.power_dbw.dtype)
+            channels[pol] = _render_streamed(pd, bs_panel, ue_panel, cfg)
+        return channels
 
     def _path_data(self, cfg=None) -> PathData:
         """Masked device pytree of this dataset's path matrices (cached)."""
