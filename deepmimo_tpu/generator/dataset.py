@@ -60,7 +60,14 @@ class Dataset(DotDict):
         try:
             return super().__getitem__(key)
         except KeyError:
+            pass
+        try:
             return self._resolve_key(key)
+        except KeyError:
+            # Attribute protocol: unknown names must raise AttributeError
+            # (keeps hasattr/copy/pickle working); dict access still raises
+            # KeyError via __getitem__.
+            raise AttributeError(key) from None
 
     def __getitem__(self, key: str) -> Any:
         try:
