@@ -1,6 +1,8 @@
 """Compare the Pallas fused kernel vs the XLA planes path on the real TPU."""
 
-import time
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,6 +1,8 @@
 """Careful per-call timing of hot-path variants + HBM bandwidth calibration."""
 
-import time
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -41,6 +41,7 @@ class DeepMIMOConfig:
         "mesh_axis_users": "users",       # mesh axis name for user sharding
         "mesh_axis_tile": "tile",         # mesh axis name for subcarrier/antenna tiles
         "validate_parity": False,         # run f64 CPU parity checks when possible
+        "checkpoint_dir": None,           # persist rendered blocks for resume
         # API endpoint (scenario database)
         "api_endpoint": "https://dev.deepmimo.net",
     }

@@ -600,12 +600,23 @@ def _render_streamed(path_data: PathData, bs_panel, ue_panel, cfg
     per_user_rot = np.asarray(bs_panel.rotation_deg).ndim == 2 or \
         np.asarray(ue_panel.rotation_deg).ndim == 2
 
-    if n_ue <= block:
+    # Optional checkpoint/resume for long jobs (config 'checkpoint_dir')
+    store = None
+    ckpt_root = config.get("checkpoint_dir")
+    if ckpt_root:
+        from .checkpoint import ChunkStore
+        store = ChunkStore(ckpt_root, ChunkStore.fingerprint(cfg, n_ue))
+        store.write_manifest({"n_ue": n_ue, "block": block})
+
+    if n_ue <= block and store is None:
         return _get_complex(render(path_data, bs_panel, ue_panel, cfg))
 
     chunks = []
     for start in range(0, n_ue, block):
         size = min(block, n_ue - start)
+        if store is not None and store.has_block(start):
+            chunks.append(store.load_block(start)[:size])
+            continue
         if size < block:
             # Pad the tail block to keep the compiled shape.
             pad = block - size
@@ -622,6 +633,8 @@ def _render_streamed(path_data: PathData, bs_panel, ue_panel, cfg
             bsp = _slice_panel(bs_panel, start, size, block)
             uep = _slice_panel(ue_panel, start, size, block)
         out = _get_complex(render(pd, bsp, uep, cfg))
+        if store is not None:
+            store.save_block(start, out[:size])
         chunks.append(out[:size])
     return np.concatenate(chunks, axis=0)
 

@@ -157,3 +157,31 @@ def test_info_prints(capsys):
     assert "dBW" in out
     dm.info("pwr")  # alias
     assert "alias" not in capsys.readouterr().out  # info() resolves silently
+
+
+def test_checkpoint_resume(tmp_path, monkeypatch):
+    """Interrupted generation resumes from persisted blocks."""
+    folder = str(tmp_path / "ck_scen")
+    write_synthetic_scenario(folder, n_ue=8, max_paths=4, seed=9,
+                             grid=(4, 2))
+    ds = dm.load(folder)
+    old_block = dm.config.get("user_block")
+    dm.config.set("user_block", 4)            # 2 blocks
+    dm.config.set("checkpoint_dir", str(tmp_path / "ckpt"))
+    try:
+        ch1 = ds.compute_channels(dm.ChannelGenParameters())
+        # chunks persisted
+        from deepmimo_tpu.generator.checkpoint import ChunkStore
+        import os as _os
+        fps = _os.listdir(str(tmp_path / "ckpt"))
+        assert len(fps) == 1
+        store = ChunkStore(str(tmp_path / "ckpt"), fps[0])
+        assert store.blocks() == [0, 4]
+
+        # resume path: fresh dataset reuses the chunks (values identical)
+        ds2 = dm.load(folder)
+        ch2 = ds2.compute_channels(dm.ChannelGenParameters())
+        np.testing.assert_allclose(ch1, ch2, atol=1e-7)
+    finally:
+        dm.config.set("user_block", old_block)
+        dm.config.set("checkpoint_dir", None)
