@@ -84,8 +84,9 @@ def export_matlab(dataset, out_folder: str, tx_power_dbm: float = 0.0,
                 v = np.where(valid)[0][:nv]
                 mat[0] = phase[u, v]
                 mat[1] = delay[u, v]
-                # dBW -> dBm re-referenced to the transmit power
-                mat[2] = power[u, v] + tx_power_dbm - 30
+                # dBW -> v3 dBm convention (inverse of the legacy_v3
+                # loader: dBW = p_dbm - tx_power)
+                mat[2] = power[u, v] + tx_power_dbm
                 mat[3] = aoa_az[u, v]
                 mat[4] = aoa_el[u, v]
                 mat[5] = aod_az[u, v]

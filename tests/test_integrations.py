@@ -68,10 +68,9 @@ def test_matlab_export(dataset, tmp_path):
     assert mat.shape == (8, nv)
     np.testing.assert_allclose(mat[1], np.float64(
         np.float32(data["delay"][u, :nv])), rtol=1e-6)
-    # power dBm re-referencing: dBW + 0 dBm tx - 30
+    # power in the v3 dBm convention: dBW + tx_power (0 here)
     np.testing.assert_allclose(
-        mat[2], np.float64(np.float32(data["power"][u, :nv])) - 30,
-        rtol=1e-5)
+        mat[2], np.float64(np.float32(data["power"][u, :nv])), rtol=1e-5)
     assert os.path.exists(os.path.join(out, "UE_locations.mat"))
     assert os.path.exists(os.path.join(out, "BS1_BS.mat"))
 
@@ -202,3 +201,30 @@ def test_roofline_accounting():
     assert r["flops"] == 8 * 131072 * 64 * 25 * 64
     assert r["t_speed_of_light_s"] > 0
     assert r["users_per_s_sol"] > 1e6
+
+
+def test_v3_roundtrip(dataset, tmp_path):
+    """matlab_export -> legacy v3 loader round-trips the path matrices."""
+    from deepmimo_tpu.converter.legacy_v3 import (load_v3_scenario,
+                                                  is_v3_scenario)
+    ds, data = dataset
+    out = export_matlab(ds, str(tmp_path / "v3_scen"), tx_power_dbm=30.0)
+    assert is_v3_scenario(out)
+
+    v3 = load_v3_scenario(out)
+    assert v3.n_ue == 16
+    for key in ("power", "phase", "delay", "aoa_az", "aoa_el", "aod_az",
+                "aod_el"):
+        ours = np.float32(np.asarray(ds[key]))
+        theirs = np.asarray(v3[key])[:, :ours.shape[1]]
+        # v3 packs valid paths; padded tails stay NaN in both
+        np.testing.assert_allclose(np.nan_to_num(theirs),
+                                   np.nan_to_num(ours), atol=1e-4,
+                                   err_msg=key)
+    np.testing.assert_allclose(np.asarray(v3.rx_pos),
+                               np.asarray(ds.rx_pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v3.tx_pos),
+                               np.asarray(ds.tx_pos), atol=1e-5)
+    # channels computable from the legacy load
+    ch = v3.compute_channels(dm.ChannelGenParameters())
+    assert np.isfinite(ch).all()
