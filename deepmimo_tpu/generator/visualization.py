@@ -81,6 +81,48 @@ def plot_coverage(rxs, cov_map, dpi: int = 100, figsize=(6, 4),
     return ax
 
 
+def transform_coordinates(pos: np.ndarray, origin_lat: float,
+                          origin_lon: float) -> np.ndarray:
+    """Local cartesian positions -> GPS (lat, lon, alt) rows (GIS export)."""
+    from ..pipelines.geo_utils import cartesian_to_gps
+
+    pos = np.asarray(pos, dtype=np.float64)
+    lat, lon = cartesian_to_gps(pos[:, 0], pos[:, 1], origin_lat,
+                                origin_lon)
+    alt = pos[:, 2] if pos.shape[1] > 2 else np.zeros(len(pos))
+    return np.column_stack([lat, lon, alt])
+
+
+def export_xyz_csv(dataset, metric, path: str,
+                   origin_lat: Optional[float] = None,
+                   origin_lon: Optional[float] = None) -> str:
+    """Export a per-user metric as CSV for GIS tools.
+
+    Columns: x,y,z,value — or lat,lon,alt,value when a GPS origin is given
+    (taken from rt_params' gps_bbox center when available).
+    """
+    rx = np.asarray(dataset[c.RX_POS_PARAM_NAME], dtype=np.float64)
+    vals = np.asarray(metric, dtype=np.float64).reshape(-1)
+
+    if origin_lat is None:
+        rt = dataset.get(c.RT_PARAMS_PARAM_NAME) or {}
+        bbox = rt.get(c.RT_PARAM_GPS_BBOX)
+        if bbox is not None and any(bbox):
+            origin_lat = (bbox[0] + bbox[2]) / 2
+            origin_lon = (bbox[1] + bbox[3]) / 2
+
+    if origin_lat is not None:
+        rows = transform_coordinates(rx, origin_lat, origin_lon)
+        header = "lat,lon,alt,value"
+    else:
+        rows = rx
+        header = "x,y,z,value"
+
+    data = np.column_stack([rows, vals])
+    np.savetxt(path, data, delimiter=",", header=header, comments="")
+    return path
+
+
 # Interaction-type colors for ray plots
 _INTER_COLORS = {
     c.INTERACTION_LOS: ("tab:green", "LoS"),

@@ -196,6 +196,37 @@ def _path_sum_planes(cfg: ChannelConfig, arx, atx, gr, gi):
     return (hr + 1j * hi).astype(cfg.cdtype).reshape(u, r, t, k)
 
 
+def _path_sum_pallas(cfg: ChannelConfig, arx, atx, powers_lin,
+                     paths: PathData, valid, t_snap):
+    """Fused Pallas path-sum: E/g intermediates never leave VMEM."""
+    from .pallas import fused_path_sum
+
+    n_fft = cfg.subcarriers
+    ts = 1.0 / cfg.bandwidth
+    k_sel = jnp.asarray(np.asarray(cfg.selected_subcarriers,
+                                   dtype=np.float64), dtype=_rd(cfg))
+    delay_n = paths.delay_s / ts
+    pvalid = valid & (delay_n < n_fft)
+    amp = jnp.where(pvalid, jnp.sqrt(powers_lin / n_fft), 0.0)
+    psi = jnp.deg2rad(paths.phase_deg)
+    if cfg.enable_doppler and paths.doppler_vel is not None:
+        t = paths.delay_s + t_snap
+        psi = psi - 2 * jnp.pi * cfg.carrier_freq * (
+            paths.doppler_vel * t / c.LIGHTSPEED +
+            paths.doppler_acc * (t * t) / (2 * c.LIGHTSPEED))
+    omega = (2 * jnp.pi / n_fft) * delay_n
+
+    (arx_r, arx_i), (atx_r, atx_i) = arx, atx
+    u, r, _ = arx_r.shape
+    t_ant = atx_r.shape[1]
+    # Interpreter mode on CPU (testing); compiled Mosaic kernel on TPU.
+    interpret = jax.default_backend() == "cpu"
+    hr, hi = fused_path_sum(arx_r, arx_i, atx_r, atx_i, amp, psi, omega,
+                            k_sel, interpret=interpret)
+    k = k_sel.shape[0]
+    return (hr + 1j * hi).astype(cfg.cdtype).reshape(u, r, t_ant, k)
+
+
 def _path_sum(a_rx, a_tx, g, cdtype):
     """H[u, r, t, k] = sum_p a_rx[u,r,p] a_tx[u,t,p] g[u,p,k].
 
@@ -281,7 +312,10 @@ def render_channels(paths: PathData, bs: AntennaPanel, ue: AntennaPanel,
 
     outs = []
     for t_snap in snapshots[:n_times]:
-        if use_planes:
+        if use_planes and cfg.backend == "pallas":
+            h = _path_sum_pallas(cfg, arx, atx, powers_lin, paths, valid,
+                                 t_snap)
+        elif use_planes:
             gr, gi = _ofdm_gain_planes(cfg, powers_lin, paths.delay_s,
                                        paths.phase_deg, valid, t_snap,
                                        paths)

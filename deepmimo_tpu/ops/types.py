@@ -157,6 +157,9 @@ class ChannelConfig:
     # relative accuracy; "bfloat16" is ~2x faster at ~4e-3 relative —
     # accumulation is always float32)
     matmul_dtype: str = "float32"
+    # Path-sum backend: "xla" (planes einsum, default) or "pallas"
+    # (fused VMEM-resident kernel)
+    backend: str = "xla"
 
     @property
     def n_rx_ant(self) -> int:

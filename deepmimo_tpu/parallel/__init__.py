@@ -2,6 +2,8 @@
 
 from .mesh import make_mesh, default_mesh_shape
 from .sharded import shard_paths, render_channels_sharded, training_step
+from .multihost import load_paths_sharded, host_user_range
 
 __all__ = ["make_mesh", "default_mesh_shape", "shard_paths",
-           "render_channels_sharded", "training_step"]
+           "render_channels_sharded", "training_step",
+           "load_paths_sharded", "host_user_range"]

@@ -56,3 +56,31 @@ def test_kernel_gradients_match_reference():
     gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
     for a, b in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_render_channels_pallas_backend():
+    """End-to-end renderer with backend='pallas' matches the XLA backend."""
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle import make_synthetic_paths
+    from deepmimo_tpu.ops.types import (PathData, AntennaPanel,
+                                        ChannelConfig)
+    from deepmimo_tpu.ops.channel import render_channels
+
+    data = make_synthetic_paths(n_ue=10, max_paths=6, seed=44)
+    paths = PathData.from_numpy(
+        power=data["power"], phase=data["phase"], delay=data["delay"],
+        aoa_az=data["aoa_az"], aoa_el=data["aoa_el"],
+        aod_az=data["aod_az"], aod_el=data["aod_el"], dtype=jnp.float32)
+    bs = AntennaPanel.make((5.0, 0.0, 20.0))
+    ue = AntennaPanel.make()
+    kw = dict(bs_shape=(4, 2), ue_shape=(2, 1), freq_domain=True,
+              subcarriers=64, selected_subcarriers=tuple(range(6)),
+              num_paths=6)
+    h_xla = np.asarray(render_channels(paths, bs, ue,
+                                       ChannelConfig(**kw, backend="xla")))
+    h_pal = np.asarray(render_channels(paths, bs, ue,
+                                       ChannelConfig(**kw,
+                                                     backend="pallas")))
+    scale = np.abs(h_xla).max()
+    np.testing.assert_allclose(h_pal, h_xla, atol=1e-5 * scale)

@@ -104,3 +104,50 @@ def test_training_step_loss_decreases():
         params, loss = step(params, s_paths, s_target)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_multihost_loader_single_process(tmp_path):
+    """load_paths_sharded shards users over the mesh (1-process path)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from scenario_utils import write_synthetic_scenario
+    import deepmimo_tpu as dm
+    from deepmimo_tpu.parallel import load_paths_sharded, host_user_range
+
+    folder = str(tmp_path / "mh_scen")
+    write_synthetic_scenario(folder, n_ue=16, max_paths=4, seed=21,
+                             grid=(4, 4))
+    ds = dm.load(folder)
+    mesh = make_mesh()
+    pd = load_paths_sharded(ds, mesh, num_paths=4)
+    assert pd.power_dbw.shape == (16, 4)
+    assert len(pd.power_dbw.sharding.device_set) == 8
+
+    # range partitioning covers all users exactly once
+    spans = [host_user_range(16, pi, 4) for pi in range(4)]
+    assert spans[0] == (0, 4) and spans[-1] == (12, 16)
+
+    # sharded render matches host render
+    bs, ue = AntennaPanel.make(), AntennaPanel.make()
+    h = render_channels_sharded(pd, bs, ue, CFG.replace(num_paths=4), mesh)
+    ref = render_channels(jax.device_put(pd), bs, ue,
+                          CFG.replace(num_paths=4))
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref), atol=1e-6)
+
+
+def test_export_xyz_csv(tmp_path):
+    import sys
+    sys.path.insert(0, "tests")
+    from scenario_utils import write_synthetic_scenario
+    import deepmimo_tpu as dm
+    from deepmimo_tpu.generator.visualization import export_xyz_csv
+
+    folder = str(tmp_path / "csv_scen")
+    write_synthetic_scenario(folder, n_ue=8, max_paths=4, seed=22,
+                             grid=(4, 2))
+    ds = dm.load(folder)
+    path = export_xyz_csv(ds, np.asarray(ds.pathloss),
+                          str(tmp_path / "cov.csv"))
+    lines = open(path).read().splitlines()
+    assert lines[0] == "x,y,z,value"
+    assert len(lines) == 9
