@@ -29,7 +29,7 @@ UE_SHAPE = (1, 1)
 N_FFT = 512
 SEL_SC = tuple(range(64))
 BANDWIDTH = 10e6
-USER_BLOCK = 65_536
+USER_BLOCK = 131_072
 BASELINE_SAMPLE = 384   # users timed through the reference CPU generator
 
 

@@ -632,11 +632,35 @@ def _render_streamed(path_data: PathData, bs_panel, ue_panel, cfg
         if per_user_rot:
             bsp = _slice_panel(bs_panel, start, size, block)
             uep = _slice_panel(ue_panel, start, size, block)
-        out = _get_complex(render(pd, bsp, uep, cfg))
+        out = _render_block_with_retry(render, pd, bsp, uep, cfg)
         if store is not None:
             store.save_block(start, out[:size])
         chunks.append(out[:size])
     return np.concatenate(chunks, axis=0)
+
+
+def _render_block_with_retry(render, pd, bsp, uep, cfg, retries: int = 1):
+    """Device-failure resilience for long sweeps.
+
+    Transient accelerator/runtime errors (preempted tunnel, OOM from a
+    fragmented heap) retry once on the device, then fall back to a CPU
+    execution of the same jitted function so a multi-hour job never loses
+    its progress.
+    """
+    import jax
+
+    for attempt in range(retries + 1):
+        try:
+            return _get_complex(render(pd, bsp, uep, cfg))
+        except jax.errors.JaxRuntimeError as e:
+            print(f"[deepmimo_tpu] device error on block "
+                  f"(attempt {attempt + 1}): {e}")
+    print("[deepmimo_tpu] falling back to CPU for this block")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pd_cpu = jax.tree_util.tree_map(
+            lambda x: None if x is None else np.asarray(x), pd)
+        return _get_complex(_render_ri(pd_cpu, bsp, uep, cfg))
 
 
 def _slice_panel(panel, start, size, block):
