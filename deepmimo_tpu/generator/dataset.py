@@ -263,6 +263,31 @@ class Dataset(DotDict):
             c.AOA_AZ_ROT_PARAM_NAME: aoa_p,
         }
 
+    def _compute_array_response_product(self) -> np.ndarray:
+        """[n_ue, M_rx, M_tx, n_paths] complex RX x TX array-response
+        product at the FoV-filtered rotated angles (invalid paths -> 0)."""
+        from ..ops.geometry import array_response
+
+        params = self._ensure_ch_params()
+        bs_p = params[c.PARAMSET_ANT_BS]
+        ue_p = params[c.PARAMSET_ANT_UE]
+
+        aod_t = np.nan_to_num(_np(self[c.AOD_EL_FOV_PARAM_NAME]))
+        aod_p = np.nan_to_num(_np(self[c.AOD_AZ_FOV_PARAM_NAME]))
+        aoa_t = np.nan_to_num(_np(self[c.AOA_EL_FOV_PARAM_NAME]))
+        aoa_p = np.nan_to_num(_np(self[c.AOA_AZ_FOV_PARAM_NAME]))
+        valid = ~np.isnan(_np(self[c.AOD_EL_FOV_PARAM_NAME]))
+
+        a_tx = np.asarray(array_response(
+            tuple(int(x) for x in _np(bs_p[c.PARAMSET_ANT_SHAPE])),
+            float(bs_p[c.PARAMSET_ANT_SPACING]), jnp.asarray(aod_t),
+            jnp.asarray(aod_p), jnp.asarray(valid)))
+        a_rx = np.asarray(array_response(
+            tuple(int(x) for x in _np(ue_p[c.PARAMSET_ANT_SHAPE])),
+            float(ue_p[c.PARAMSET_ANT_SPACING]), jnp.asarray(aoa_t),
+            jnp.asarray(aoa_p), jnp.asarray(valid)))
+        return a_rx[:, :, None, :] * a_tx[:, None, :, :]
+
     def _clear_cache_rotated_angles(self) -> None:
         for k in {c.AOD_EL_ROT_PARAM_NAME, c.AOD_AZ_ROT_PARAM_NAME,
                   c.AOA_EL_ROT_PARAM_NAME, c.AOA_AZ_ROT_PARAM_NAME} & \
@@ -505,6 +530,7 @@ class Dataset(DotDict):
         c.AOA_EL_ROT_PARAM_NAME: "_compute_rotated_angles",
         c.AOD_AZ_ROT_PARAM_NAME: "_compute_rotated_angles",
         c.AOD_EL_ROT_PARAM_NAME: "_compute_rotated_angles",
+        "array_response_product": "_compute_array_response_product",
         "fov": "_compute_fov",
         c.FOV_MASK_PARAM_NAME: "_compute_fov",
         c.AOA_AZ_FOV_PARAM_NAME: "_compute_fov",

@@ -131,10 +131,15 @@ def _ofdm_path_gains(cfg: ChannelConfig, powers_lin, delays, phase_deg, valid,
             dop = _doppler_phase(cfg, paths, (d * ts)[None, None, :], t_snap)
             if dop is not None:
                 path_const = path_const * dop
-        dft = jnp.exp(-1j * (2 * jnp.pi / n_fft) *
-                      (d[:, None] * k_sel[None, :]).astype(_rd(cfg)))  # [D, K]
-        g = jnp.einsum("upd,dk->upk", path_const.astype(cfg.cdtype),
-                       dft.astype(cfg.cdtype))
+        if cfg.selected_subcarriers == tuple(range(n_fft)):
+            # Full-band output: the delay->subcarrier projection IS the
+            # DFT, so use an FFT (O(N log N) per path instead of O(N*K)).
+            g = jnp.fft.fft(path_const.astype(cfg.cdtype), axis=-1)
+        else:
+            dft = jnp.exp(-1j * (2 * jnp.pi / n_fft) *
+                          (d[:, None] * k_sel[None, :]).astype(_rd(cfg)))
+            g = jnp.einsum("upd,dk->upk", path_const.astype(cfg.cdtype),
+                           dft.astype(cfg.cdtype))
     return g.astype(cfg.cdtype)
 
 

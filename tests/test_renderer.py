@@ -226,3 +226,22 @@ def test_float32_accuracy_vs_float64():
     scale = np.abs(got64).max()
     assert scale > 0
     np.testing.assert_allclose(got32, got64, atol=5e-5 * scale)
+
+
+def test_rx_filter_full_band_fft_path():
+    """LPF with all subcarriers selected uses the FFT path; same values."""
+    data = make_synthetic_paths(n_ue=4, max_paths=3, seed=23)
+    n_fft = 16
+    base = dict(bs_shape=(2, 1), ue_shape=(1, 1), freq_domain=True,
+                subcarriers=n_fft, rx_filter=True, num_paths=3, **F64)
+    full = _render(data, ChannelConfig(
+        **base, selected_subcarriers=tuple(range(n_fft))))
+    # Reference: DFT-matrix path via per-subcarrier selection
+    ref = oracle_channels(**{k: data[k] for k in
+                             ("power", "phase", "delay", "aoa_az", "aoa_el",
+                              "aod_az", "aod_el")},
+                          bs_shape=(2, 1), ue_shape=(1, 1), freq_domain=True,
+                          n_fft=n_fft,
+                          selected_subcarriers=tuple(range(n_fft)),
+                          rx_filter=True, num_paths=3)
+    np.testing.assert_allclose(full, ref, atol=1e-10)
