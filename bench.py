@@ -55,7 +55,7 @@ def bench_tpu(data):
     import jax
     import jax.numpy as jnp
     from deepmimo_tpu.ops.types import PathData, AntennaPanel, ChannelConfig
-    from deepmimo_tpu.ops.channel import render_channels
+    from deepmimo_tpu.ops.channel import render_channels_planes
 
     cfg = ChannelConfig(bs_shape=BS_SHAPE, ue_shape=UE_SHAPE,
                         freq_domain=True, subcarriers=N_FFT,
@@ -73,7 +73,9 @@ def bench_tpu(data):
     n_blocks = n_ue // USER_BLOCK
     n_timed = n_blocks * USER_BLOCK
 
-    render = jax.jit(render_channels, static_argnames=("cfg",))
+    # Serving pattern: channels land in HBM as float32 real/imag planes
+    # (skips the complexification pass; consumers view them for free).
+    render = jax.jit(render_channels_planes, static_argnames=("cfg",))
 
     # Device-resident input; stream blocks, keep outputs on device (the
     # serving pattern: consumers read tiles from HBM).

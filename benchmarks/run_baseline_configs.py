@@ -1,0 +1,164 @@
+"""Sweep the 5 BASELINE.md configurations: TPU vs reference CPU users/s.
+
+Writes benchmarks/RESULTS.md. Run on the real TPU (single process):
+    timeout 570 python benchmarks/run_baseline_configs.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_UE = 131_072
+MAX_PATHS = 25
+BASELINE_SAMPLE = 256
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.md")
+
+CONFIGS = {
+    "1 SISO narrowband TD": dict(
+        bs_shape=(1, 1), ue_shape=(1, 1), freq_domain=False, k=None),
+    "2 OFDM wideband SISO (512 sc)": dict(
+        bs_shape=(1, 1), ue_shape=(1, 1), freq_domain=True,
+        k=tuple(range(512))),
+    "3 MIMO 8x64 UPA OFDM": dict(
+        bs_shape=(8, 8), ue_shape=(4, 2), freq_domain=True, k=(0,)),
+    "4 MIMO + rotation + FoV + dipole": dict(
+        bs_shape=(8, 8), ue_shape=(1, 1), freq_domain=True,
+        k=tuple(range(16)), bs_rot=(10, 20, 30), dipole=True,
+        bs_fov=(120.0, 90.0)),
+    "5 Doppler 16 snapshots, 64-ant BS": dict(
+        bs_shape=(8, 8), ue_shape=(1, 1), freq_domain=True,
+        k=tuple(range(8)), doppler=True, n_times=16),
+}
+
+
+def make_data(n_ue, with_doppler=False, seed=7):
+    rng = np.random.RandomState(seed)
+    n_valid = rng.randint(1, MAX_PATHS + 1, size=n_ue)
+    mask = np.arange(MAX_PATHS)[None, :] < n_valid[:, None]
+
+    def mat(lo, hi):
+        return np.where(mask, rng.uniform(lo, hi, (n_ue, MAX_PATHS)),
+                        np.nan)
+
+    d = {"power": mat(-130, -60), "phase": mat(-180, 180),
+         "delay": mat(1e-7, 4e-6), "aoa_az": mat(-180, 180),
+         "aoa_el": mat(0, 180), "aod_az": mat(-180, 180),
+         "aod_el": mat(0, 180)}
+    if with_doppler:
+        d["doppler_vel"] = mat(-30, 30)
+        d["doppler_acc"] = mat(-5, 5)
+    return d
+
+
+def bench_tpu(data, spec):
+    import jax
+    import jax.numpy as jnp
+    from deepmimo_tpu.ops.types import PathData, AntennaPanel, ChannelConfig
+    from deepmimo_tpu.ops.channel import render_channels
+
+    cfg = ChannelConfig(
+        bs_shape=spec["bs_shape"], ue_shape=spec["ue_shape"],
+        freq_domain=spec["freq_domain"], subcarriers=512,
+        selected_subcarriers=spec["k"] or (0,), bandwidth=10e6,
+        num_paths=MAX_PATHS,
+        bs_pattern="halfwave-dipole" if spec.get("dipole") else "isotropic",
+        ue_pattern="halfwave-dipole" if spec.get("dipole") else "isotropic",
+        bs_fov=spec.get("bs_fov"),
+        enable_doppler=bool(spec.get("doppler")),
+        doppler_times=tuple(np.linspace(0, 1e-2, spec.get("n_times", 1)))
+        if spec.get("doppler") else (0.0,),
+        dtype="complex64")
+    bs = AntennaPanel.make(spec.get("bs_rot", (0, 0, 0)))
+    ue = AntennaPanel.make()
+    paths = PathData.from_numpy(**data, dtype=jnp.float32)
+
+    # Block size bounded by output-tensor HBM footprint (~2 GB per block)
+    q = int(np.prod(spec["bs_shape"]) * np.prod(spec["ue_shape"]))
+    lastdim = (len(spec["k"]) if spec["freq_domain"] else MAX_PATHS) * \
+        spec.get("n_times", 1)
+    block = min(N_UE, max(4096, int(2e9 / (q * lastdim * 8))))
+    block = 1 << int(np.log2(block))
+    n_blocks = max(N_UE // block, 1)
+
+    render = jax.jit(render_channels, static_argnames=("cfg",))
+    dev_paths = jax.device_put(paths)
+    out = render(dev_paths.slice_users(0, block), bs, ue, cfg)
+    jax.block_until_ready(out)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [render(dev_paths.slice_users(i * block, block), bs, ue, cfg)
+                for i in range(n_blocks)]
+        jax.block_until_ready(outs)
+        best = min(best, time.perf_counter() - t0)
+        del outs
+    return n_blocks * block / best
+
+
+def bench_reference(data, spec):
+    if spec.get("doppler"):
+        return None  # the reference v4 generator has no Doppler
+    sys.path.insert(0, "/root/reference")
+    for mod in list(sys.modules):
+        if mod == "deepmimo" or mod.startswith("deepmimo."):
+            del sys.modules[mod]
+    from deepmimo.generator.dataset import Dataset as RefDataset
+    from deepmimo.generator.channel import ChannelGenParameters as RefParams
+
+    n = BASELINE_SAMPLE
+    sub = {k: np.float32(v[:n]) for k, v in data.items()
+           if k not in ("doppler_vel", "doppler_acc")}
+    ds = RefDataset(sub | {
+        "rx_pos": np.zeros((n, 3), dtype=np.float32),
+        "tx_pos": np.zeros((1, 3), dtype=np.float32)})
+    if spec.get("bs_fov"):
+        ds.apply_fov(bs_fov=np.array(spec["bs_fov"]))
+    p = RefParams()
+    p["bs_antenna"]["shape"] = np.array(spec["bs_shape"])
+    p["ue_antenna"]["shape"] = np.array(spec["ue_shape"])
+    p["freq_domain"] = int(spec["freq_domain"])
+    p["ofdm"]["selected_subcarriers"] = np.array(spec["k"] or [0])
+    p["num_paths"] = MAX_PATHS
+    if spec.get("bs_rot"):
+        p["bs_antenna"]["rotation"] = np.array(spec["bs_rot"])
+    if spec.get("dipole"):
+        p["bs_antenna"]["radiation_pattern"] = "halfwave-dipole"
+        p["ue_antenna"]["radiation_pattern"] = "halfwave-dipole"
+    t0 = time.perf_counter()
+    ds.compute_channels(p)
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    rows = []
+    for name, spec in CONFIGS.items():
+        data = make_data(N_UE, with_doppler=spec.get("doppler", False))
+        ref = bench_reference(data, spec)
+        tpu = bench_tpu(data, spec)
+        speedup = tpu / ref if ref else None
+        rows.append((name, ref, tpu, speedup))
+        print(f"{name:36s} ref={ref and round(ref, 1)} users/s  "
+              f"tpu={tpu:,.0f} users/s  x{speedup and round(speedup)}",
+              flush=True)
+
+    with open(OUT, "w") as f:
+        f.write("# BASELINE configuration sweep (single TPU chip)\n\n")
+        f.write(f"131,072 users x {MAX_PATHS} paths; reference = upstream "
+                "CPU generator on this machine.\n\n")
+        f.write("| config | reference (users/s) | TPU (users/s) | "
+                "speedup |\n|---|---|---|---|\n")
+        for name, ref, tpu, sp in rows:
+            ref_s = f"{ref:,.0f}" if ref else "n/a (no Doppler in reference)"
+            sp_s = f"{sp:,.0f}x" if sp else "-"
+            f.write(f"| {name} | {ref_s} | {tpu:,.0f} | {sp_s} |\n")
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

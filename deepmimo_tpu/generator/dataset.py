@@ -598,11 +598,11 @@ def _pattern_np(name, theta_rad, phi_rad):
 def _render_ri(paths, bs_panel, ue_panel, cfg):
     """Renderer returning stacked (real, imag) planes.
 
-    Some TPU runtimes cannot transfer complex arrays to the host; shipping
-    two real planes and recombining host-side is free (same bytes).
+    Planes avoid the complexification pass entirely on the fast path, and
+    some TPU runtimes cannot transfer complex arrays to the host anyway.
     """
-    h = render_channels(paths, bs_panel, ue_panel, cfg)
-    return jnp.stack((jnp.real(h), jnp.imag(h)))
+    from ..ops.channel import render_channels_planes
+    return render_channels_planes(paths, bs_panel, ue_panel, cfg)
 
 
 def _get_complex(out_ri) -> np.ndarray:

@@ -19,12 +19,14 @@ from .geometry import (
     safe_arccos,
 )
 from .patterns import pattern_gain, PATTERN_REGISTRY
-from .channel import render_channels, render_channels_and_grads
+from .channel import (render_channels, render_channels_planes,
+                      render_channels_and_grads)
 
 __all__ = [
     "PathData", "ChannelConfig", "AntennaPanel",
     "rotate_angles", "ant_indices", "array_response", "apply_fov",
     "steering_vec", "safe_arccos",
     "pattern_gain", "PATTERN_REGISTRY",
-    "render_channels", "render_channels_and_grads",
+    "render_channels", "render_channels_planes",
+    "render_channels_and_grads",
 ]

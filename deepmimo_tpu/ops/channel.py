@@ -175,11 +175,12 @@ def _ofdm_gain_planes(cfg: ChannelConfig, powers_lin, delays, phase_deg,
     return gr, gi
 
 
-def _path_sum_planes(cfg: ChannelConfig, arx, atx, gr, gi):
-    """H = sum_p (a_rx a_tx) g via four real batched matmuls.
+def _path_sum_planes_ri(cfg: ChannelConfig, arx, atx, gr, gi):
+    """H = sum_p (a_rx a_tx) g via four real batched matmuls -> (hr, hi).
 
     Measured ~8x (f32) to ~20x (bf16 inputs) faster than the complex
-    einsum lowering on TPU v5e; accumulation is always float32.
+    einsum lowering on TPU v5e; accumulation is always float32. Returning
+    planes (not complex) also skips a full extra read+write of H.
     """
     (arx_r, arx_i), (atx_r, atx_i) = arx, atx
     u, r, p = arx_r.shape
@@ -198,7 +199,12 @@ def _path_sum_planes(cfg: ChannelConfig, arx, atx, gr, gi):
     hr = mm(er, gr) - mm(ei, gi)
     hi = mm(er, gi) + mm(ei, gr)
     k = gr.shape[-1]
-    return (hr + 1j * hi).astype(cfg.cdtype).reshape(u, r, t, k)
+    return hr.reshape(u, r, t, k), hi.reshape(u, r, t, k)
+
+
+def _path_sum_planes(cfg: ChannelConfig, arx, atx, gr, gi):
+    hr, hi = _path_sum_planes_ri(cfg, arx, atx, gr, gi)
+    return (hr + 1j * hi).astype(cfg.cdtype)
 
 
 def _path_sum_pallas(cfg: ChannelConfig, arx, atx, powers_lin,
@@ -249,6 +255,47 @@ def _path_sum(a_rx, a_tx, g, cdtype):
 # ============================================================================
 # Public renderer
 # ============================================================================
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_channels_planes(paths: PathData, bs: AntennaPanel,
+                           ue: AntennaPanel, cfg: ChannelConfig
+                           ) -> jax.Array:
+    """Render channels as stacked real/imag planes [2, U, R, T, K(, T_t)].
+
+    The serving-oriented output: float32 planes skip the complexification
+    pass (a full extra read+write of H) and transfer on runtimes that
+    cannot move complex arrays. Same configs as the fast path of
+    :func:`render_channels` (complex64 frequency-domain, no sinc filter).
+    """
+    if not (cfg.dtype == "complex64" and cfg.freq_domain and
+            not cfg.rx_filter):
+        h = render_channels(paths, bs, ue, cfg)
+        return jnp.stack((jnp.real(h), jnp.imag(h)))
+
+    from .geometry import array_response_planes
+
+    paths = paths.trim_paths(cfg.num_paths)
+    aod_theta, aod_phi, aoa_theta, aoa_phi = _rotated_angles(paths, bs, ue)
+    valid = _fov_valid(cfg, paths.valid, aod_theta, aod_phi, aoa_theta,
+                       aoa_phi)
+    powers_lin = _powers_linear(cfg, paths, valid, aod_theta, aod_phi,
+                                aoa_theta, aoa_phi)
+    arx = array_response_planes(cfg.ue_shape, ue.spacing, aoa_theta,
+                                aoa_phi, valid)
+    atx = array_response_planes(cfg.bs_shape, bs.spacing, aod_theta,
+                                aod_phi, valid)
+
+    snapshots = cfg.doppler_times if cfg.enable_doppler else (0.0,)
+    outs = []
+    for t_snap in snapshots:
+        gr, gi = _ofdm_gain_planes(cfg, powers_lin, paths.delay_s,
+                                   paths.phase_deg, valid, t_snap, paths)
+        hr, hi = _path_sum_planes_ri(cfg, arx, atx, gr, gi)
+        outs.append(jnp.stack((hr, hi)))
+    if cfg.enable_doppler and len(snapshots) > 1:
+        return jnp.stack(outs, axis=-1)
+    return outs[0]
+
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_channels(paths: PathData, bs: AntennaPanel, ue: AntennaPanel,

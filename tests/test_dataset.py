@@ -265,3 +265,37 @@ def test_generate_one_shot(tmp_path, monkeypatch):
     ds = dm.generate("gen_scen")
     assert "channel" in ds.keys()
     assert np.asarray(ds.channel).shape == (8, 1, 8, 1)
+
+
+def test_dynamic_scenario(tmp_path):
+    """Multi-snapshot scenario: per-scene subfolders -> DynamicDataset."""
+    import os
+    from deepmimo_tpu.utils import load_dict_from_json
+    from deepmimo_tpu.converter.converter_utils import save_params
+    from deepmimo_tpu.generator.core import DynamicDataset
+
+    root = str(tmp_path / "dyn_scen")
+    os.makedirs(root)
+    datas = []
+    for i in range(3):
+        datas.append(write_synthetic_scenario(
+            os.path.join(root, f"scene_{i}"), n_ue=8, max_paths=4,
+            seed=100 + i, grid=(4, 2)))
+    # Hoist one params.json to the root, marking 3 snapshots
+    params = load_dict_from_json(os.path.join(root, "scene_0",
+                                              "params.json"))
+    params[c.SCENE_PARAM_NAME][c.SCENE_PARAM_NUMBER_SCENES] = 3
+    save_params(params, root)
+
+    ds = dm.load(root)
+    assert isinstance(ds, DynamicDataset)
+    assert ds.n_snapshots == 3
+    # Per-snapshot data differs
+    p0 = np.asarray(ds[0].power)
+    p1 = np.asarray(ds[1].power)
+    assert not np.allclose(np.nan_to_num(p0), np.nan_to_num(p1))
+    # Channels compute per snapshot
+    chs = ds.compute_channels()
+    assert len(chs) == 3
+    for ch in chs:
+        assert ch.shape == (8, 1, 8, 1)
