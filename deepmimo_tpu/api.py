@@ -16,7 +16,6 @@ import urllib.request
 import urllib.error
 from typing import Any, Dict, List, Optional
 
-from . import consts as c
 from .config import config
 from .utils import (zip as zip_folder, unzip, get_scenario_folder,
                     get_scenarios_dir, check_scen_name)

@@ -13,13 +13,13 @@ the reference v4 alpha had not yet restored).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import numpy as np
 import scipy.io
 
 from .. import consts as c
-from ..utils import (get_mat_filename, get_scenario_folder, get_params_path,
+from ..utils import (get_mat_filename, get_scenario_folder,
                      load_dict_from_json)
 from ..scene import Scene
 from ..materials import MaterialList

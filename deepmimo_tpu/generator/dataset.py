@@ -23,7 +23,6 @@ from ..info import info as _info
 from ..ops import geometry as _geo
 from ..ops import patterns as _pat
 from ..ops.types import PathData
-from ..ops.channel import render_channels
 from .params import ChannelGenParameters
 from .sampling import dbw2watt, get_uniform_idxs
 

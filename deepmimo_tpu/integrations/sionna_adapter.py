@@ -10,7 +10,7 @@ as v3-style ``dataset[bs]['user']['channel']`` dicts.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

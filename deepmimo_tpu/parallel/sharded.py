@@ -16,7 +16,7 @@ Two entry points:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,13 +32,6 @@ def shard_paths(paths: PathData, mesh: Mesh) -> PathData:
     sh = user_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: None if x is None else jax.device_put(x, sh), paths)
-
-
-def _panel_sharding(panel: AntennaPanel, mesh: Mesh):
-    """Per-user rotations shard over users; shared panels replicate."""
-    rot_spec = P(USERS_AXIS, None) if panel.rotation_deg.ndim == 2 else P()
-    return AntennaPanel(rotation_deg=NamedSharding(mesh, rot_spec),
-                        spacing=NamedSharding(mesh, P()))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))

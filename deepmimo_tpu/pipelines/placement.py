@@ -5,7 +5,7 @@ Capability parity: reference deepmimo/pipelines/TxRxPlacement.py:6-60.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
-from typing import Dict, Sequence
+from typing import Dict
 
 import numpy as np
 
