@@ -27,16 +27,25 @@ OBJECT_LABELS = {
 
 _FACE_RE = re.compile(r"begin_<face>(.*?)end_<face>", re.DOTALL)
 _VERTEX_RE = re.compile(r"-?\d+\.\d+\s+-?\d+\.\d+\s+-?\d+\.\d+")
+_MATERIAL_RE = re.compile(r"^\s*Material\s+(\d+)", re.MULTILINE)
 
 
 def extract_faces(content: str) -> List[np.ndarray]:
     """All face vertex arrays ([N,3] each) in file order."""
+    return [verts for verts, _ in extract_faces_with_materials(content)]
+
+
+def extract_faces_with_materials(content: str):
+    """(vertices, material_idx) for every face block in file order."""
     faces = []
     for face_text in _FACE_RE.findall(content):
         verts = [[float(v) for v in m.split()]
                  for m in _VERTEX_RE.findall(face_text)]
-        if len(verts) >= 3:
-            faces.append(np.asarray(verts, dtype=np.float32))
+        if len(verts) < 3:
+            continue
+        m = _MATERIAL_RE.search(face_text)
+        mat_idx = int(m.group(1)) if m else 0
+        faces.append((np.asarray(verts, dtype=np.float32), mat_idx))
     return faces
 
 
@@ -78,10 +87,12 @@ def parse_geometry_file(path: str, label: str, name: str,
                         starting_id: int = 0) -> List[PhysicalElement]:
     with open(path, "r") as f:
         content = f.read()
-    faces = extract_faces(content)
+    faces_mats = extract_faces_with_materials(content)
+    faces = [fm[0] for fm in faces_mats]
     objects = []
     for i, group in enumerate(group_faces_into_objects(faces)):
-        obj_faces = [Face(vertices=faces[j]) for j in group]
+        obj_faces = [Face(vertices=faces_mats[j][0],
+                          material_idx=faces_mats[j][1]) for j in group]
         objects.append(PhysicalElement(
             faces=obj_faces, name=f"{name}_{i}",
             object_id=starting_id + i, label=label))

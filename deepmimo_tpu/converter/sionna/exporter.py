@@ -27,9 +27,18 @@ def _to_numpy(x):
 
 
 def paths_to_dict(paths) -> Dict[str, Any]:
-    """Extract the per-path tensors from a Sionna Paths object."""
+    """Extract the per-path tensors from a Sionna Paths object.
+
+    Handles both 0.19.x (complex ``a``) and 1.x (``a`` as a
+    (real, imag) pair from the PathSolver).
+    """
     out = {}
-    for key in ("a", "tau", "phi_r", "theta_r", "phi_t", "theta_t",
+    a = getattr(paths, "a")
+    if isinstance(a, (tuple, list)) and len(a) == 2:
+        out["a"] = _to_numpy(a[0]) + 1j * _to_numpy(a[1])
+    else:
+        out["a"] = _to_numpy(a)
+    for key in ("tau", "phi_r", "theta_r", "phi_t", "theta_t",
                 "types", "vertices"):
         out[key] = _to_numpy(getattr(paths, key))
     out["sources"] = _to_numpy(paths.sources)
