@@ -153,9 +153,10 @@ class ChannelConfig:
     compact_td_paths: bool = True
     # Precision of the complex output
     dtype: str = "complex64"
-    # Matmul input precision for the path-sum ("float32" keeps ~1e-6
-    # relative accuracy; "bfloat16" is ~2x faster at ~4e-3 relative —
-    # accumulation is always float32)
+    # Matmul input precision for the path-sum ("float32" default;
+    # "bfloat16" halves MXU input bandwidth where the compiler honors the
+    # cast — accumulation is always float32). Note: some XLA versions
+    # elide f32->bf16->f32 casts around dots, making this a no-op.
     matmul_dtype: str = "float32"
     # Path-sum backend: "xla" (planes einsum, default) or "pallas"
     # (fused VMEM-resident kernel)
