@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N_UE = 131_072
+N_UE = 65_536
 MAX_PATHS = 25
 BASELINE_SAMPLE = 256
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.md")
@@ -81,24 +81,37 @@ def bench_tpu(data, spec):
     q = int(np.prod(spec["bs_shape"]) * np.prod(spec["ue_shape"]))
     lastdim = (len(spec["k"]) if spec["freq_domain"] else MAX_PATHS) * \
         spec.get("n_times", 1)
-    block = min(N_UE, max(4096, int(2e9 / (q * lastdim * 8))))
+    block = min(N_UE, max(4096, int(1e9 / (q * lastdim * 8))))
     block = 1 << int(np.log2(block))
     n_blocks = max(N_UE // block, 1)
 
-    render = jax.jit(render_channels, static_argnames=("cfg",))
+    from deepmimo_tpu.ops.channel import render_channels_planes
+    render = jax.jit(render_channels_planes, static_argnames=("cfg",))
     dev_paths = jax.device_put(paths)
     out = render(dev_paths.slice_users(0, block), bs, ue, cfg)
-    jax.block_until_ready(out)
+    # block_until_ready returns early through the relay: sync via readback
+    float(jax.device_get(out.ravel()[-1]))
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    # relay round-trip to subtract
+    f_tiny = jax.jit(lambda x: jnp.sum(x * 1.000001))
+    tiny = jnp.ones((8, 128))
+    float(jax.device_get(f_tiny(tiny)))
+    t_rt = min(_timed(lambda: float(jax.device_get(f_tiny(tiny))))
+               for _ in range(5))
+
+    def sweep():
         outs = [render(dev_paths.slice_users(i * block, block), bs, ue, cfg)
                 for i in range(n_blocks)]
-        jax.block_until_ready(outs)
-        best = min(best, time.perf_counter() - t0)
-        del outs
-    return n_blocks * block / best
+        float(jax.device_get(outs[-1].ravel()[-1]))
+
+    best = min(_timed(sweep) for _ in range(3))
+    return n_blocks * block / max(best - t_rt, 1e-9)
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def bench_reference(data, spec):
@@ -149,8 +162,10 @@ def main():
 
     with open(OUT, "w") as f:
         f.write("# BASELINE configuration sweep (single TPU chip)\n\n")
-        f.write(f"131,072 users x {MAX_PATHS} paths; reference = upstream "
-                "CPU generator on this machine.\n\n")
+        f.write(f"{N_UE:,} users x {MAX_PATHS} paths; reference = upstream "
+                "CPU generator on this machine. TPU timings are "
+                "readback-synced (block_until_ready returns early through "
+                "the TPU relay) with the relay round-trip subtracted.\n\n")
         f.write("| config | reference (users/s) | TPU (users/s) | "
                 "speedup |\n|---|---|---|---|\n")
         for name, ref, tpu, sp in rows:
