@@ -207,6 +207,31 @@ def _path_sum_planes(cfg: ChannelConfig, arx, atx, gr, gi):
     return (hr + 1j * hi).astype(cfg.cdtype)
 
 
+def _td_gain_planes(cfg: ChannelConfig, powers_lin, phase_deg, valid,
+                    t_snap, paths: PathData):
+    """Time-domain per-path gains as (gr, gi) planes [U, P]."""
+    amp = jnp.where(valid, jnp.sqrt(powers_lin), 0.0)
+    psi = jnp.deg2rad(phase_deg)
+    if cfg.enable_doppler and paths.doppler_vel is not None:
+        t = paths.delay_s + t_snap
+        psi = psi - 2 * jnp.pi * cfg.carrier_freq * (
+            paths.doppler_vel * t / c.LIGHTSPEED +
+            paths.doppler_acc * (t * t) / (2 * c.LIGHTSPEED))
+    return amp * jnp.cos(psi), amp * jnp.sin(psi)
+
+
+def _td_channel_planes_ri(arx, atx, gr, gi):
+    """H[u,r,t,p] planes = (a_rx a_tx) * g, all elementwise (no path sum)."""
+    (arx_r, arx_i), (atx_r, atx_i) = arx, atx
+    er = (arx_r[:, :, None, :] * atx_r[:, None, :, :] -
+          arx_i[:, :, None, :] * atx_i[:, None, :, :])
+    ei = (arx_r[:, :, None, :] * atx_i[:, None, :, :] +
+          arx_i[:, :, None, :] * atx_r[:, None, :, :])
+    g_r = gr[:, None, None, :]
+    g_i = gi[:, None, None, :]
+    return er * g_r - ei * g_i, er * g_i + ei * g_r
+
+
 def _path_sum_pallas(cfg: ChannelConfig, arx, atx, powers_lin,
                      paths: PathData, valid, t_snap):
     """Fused Pallas path-sum: E/g intermediates never leave VMEM."""
@@ -265,10 +290,9 @@ def render_channels_planes(paths: PathData, bs: AntennaPanel,
     The serving-oriented output: float32 planes skip the complexification
     pass (a full extra read+write of H) and transfer on runtimes that
     cannot move complex arrays. Same configs as the fast path of
-    :func:`render_channels` (complex64 frequency-domain, no sinc filter).
+    :func:`render_channels` (complex64, no sinc filter; both domains).
     """
-    if not (cfg.dtype == "complex64" and cfg.freq_domain and
-            not cfg.rx_filter):
+    if not (cfg.dtype == "complex64" and not cfg.rx_filter):
         h = render_channels(paths, bs, ue, cfg)
         return jnp.stack((jnp.real(h), jnp.imag(h)))
 
@@ -280,6 +304,25 @@ def render_channels_planes(paths: PathData, bs: AntennaPanel,
                        aoa_phi)
     powers_lin = _powers_linear(cfg, paths, valid, aod_theta, aod_phi,
                                 aoa_theta, aoa_phi)
+
+    if not cfg.freq_domain and cfg.compact_td_paths:
+        perm = _compact_perm(valid)
+        take = lambda x: jnp.take_along_axis(x, perm, axis=1)
+        valid = take(valid)
+        powers_lin = take(powers_lin)
+        aod_theta, aod_phi = take(aod_theta), take(aod_phi)
+        aoa_theta, aoa_phi = take(aoa_theta), take(aoa_phi)
+        paths = PathData(
+            power_dbw=take(paths.power_dbw), phase_deg=take(paths.phase_deg),
+            delay_s=take(paths.delay_s), aoa_az_deg=take(paths.aoa_az_deg),
+            aoa_el_deg=take(paths.aoa_el_deg),
+            aod_az_deg=take(paths.aod_az_deg),
+            aod_el_deg=take(paths.aod_el_deg), valid=valid,
+            doppler_vel=None if paths.doppler_vel is None
+            else take(paths.doppler_vel),
+            doppler_acc=None if paths.doppler_acc is None
+            else take(paths.doppler_acc))
+
     arx = array_response_planes(cfg.ue_shape, ue.spacing, aoa_theta,
                                 aoa_phi, valid)
     atx = array_response_planes(cfg.bs_shape, bs.spacing, aod_theta,
@@ -288,9 +331,15 @@ def render_channels_planes(paths: PathData, bs: AntennaPanel,
     snapshots = cfg.doppler_times if cfg.enable_doppler else (0.0,)
     outs = []
     for t_snap in snapshots:
-        gr, gi = _ofdm_gain_planes(cfg, powers_lin, paths.delay_s,
-                                   paths.phase_deg, valid, t_snap, paths)
-        hr, hi = _path_sum_planes_ri(cfg, arx, atx, gr, gi)
+        if cfg.freq_domain:
+            gr, gi = _ofdm_gain_planes(cfg, powers_lin, paths.delay_s,
+                                       paths.phase_deg, valid, t_snap,
+                                       paths)
+            hr, hi = _path_sum_planes_ri(cfg, arx, atx, gr, gi)
+        else:
+            gr, gi = _td_gain_planes(cfg, powers_lin, paths.phase_deg,
+                                     valid, t_snap, paths)
+            hr, hi = _td_channel_planes_ri(arx, atx, gr, gi)
         outs.append(jnp.stack((hr, hi)))
     if cfg.enable_doppler and len(snapshots) > 1:
         return jnp.stack(outs, axis=-1)
@@ -342,10 +391,10 @@ def render_channels(paths: PathData, bs: AntennaPanel, ue: AntennaPanel,
             doppler_acc=None if paths.doppler_acc is None
             else take(paths.doppler_acc))
 
-    # Fast plane-based path: f32 outputs, no sinc filter. The complex128
-    # (parity) and LPF paths go through the complex implementation.
-    use_planes = cfg.dtype == "complex64" and cfg.freq_domain and \
-        not cfg.rx_filter
+    # Fast plane-based path: f32 outputs, no sinc filter (freq and time
+    # domain). The complex128 (parity) and LPF paths go through the
+    # complex implementation.
+    use_planes = cfg.dtype == "complex64" and not cfg.rx_filter
 
     if use_planes:
         from .geometry import array_response_planes
@@ -364,14 +413,19 @@ def render_channels(paths: PathData, bs: AntennaPanel, ue: AntennaPanel,
 
     outs = []
     for t_snap in snapshots[:n_times]:
-        if use_planes and cfg.backend == "pallas":
+        if use_planes and cfg.freq_domain and cfg.backend == "pallas":
             h = _path_sum_pallas(cfg, arx, atx, powers_lin, paths, valid,
                                  t_snap)
-        elif use_planes:
+        elif use_planes and cfg.freq_domain:
             gr, gi = _ofdm_gain_planes(cfg, powers_lin, paths.delay_s,
                                        paths.phase_deg, valid, t_snap,
                                        paths)
             h = _path_sum_planes(cfg, arx, atx, gr, gi)
+        elif use_planes:
+            gr, gi = _td_gain_planes(cfg, powers_lin, paths.phase_deg,
+                                     valid, t_snap, paths)
+            hr, hi = _td_channel_planes_ri(arx, atx, gr, gi)
+            h = (hr + 1j * hi).astype(cfg.cdtype)
         elif cfg.freq_domain:
             g = _ofdm_path_gains(cfg, powers_lin, paths.delay_s,
                                  paths.phase_deg, valid, t_snap, paths)
