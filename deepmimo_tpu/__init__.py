@@ -67,6 +67,12 @@ from .info import info
 from .summary import summary, plot_summary
 from .api import upload, upload_rt_source, upload_images, download, search
 
+# Module aliases for drop-in parity with the reference's public surface
+# (reference exposes `deepmimo.general_utils` / `deepmimo.rt_params` as
+# importable module attributes, __init__.py:85-148).
+from . import rt_params
+from . import utils as general_utils
+
 __all__ = [
     # Core
     "generate", "load", "convert", "info",

@@ -386,8 +386,179 @@ class Scene:
         return f"Scene({len(self.objects)} objects)"
 
 
-def get_object_faces(vertices: np.ndarray,
-                     decimals: int = 2) -> List[np.ndarray]:
+def _hull_prism_faces(vertices: np.ndarray) -> Optional[List[np.ndarray]]:
+    """Simplified face set: footprint convex hull extruded over the z range.
+
+    Capability parity with the reference's fast mode (deepmimo/scene.py:
+    882-949): flat objects (roads, terrain patches) collapse to a single
+    hull-outline face; 3D objects become bottom + top + one quad per hull
+    edge. Returns None when the footprint is degenerate (collinear points).
+    """
+    from scipy.spatial import ConvexHull, QhullError
+
+    pts2d = vertices[:, :2]
+    if np.linalg.matrix_rank(pts2d - pts2d[0]) < 2:
+        return None
+    try:
+        hull = ConvexHull(pts2d)
+    except QhullError:
+        return None
+
+    z = vertices[:, 2]
+    extent = np.ptp(pts2d, axis=0)
+    min_extent = np.min(extent[extent > 0]) if np.any(extent > 0) else 0.0
+    if np.std(z) < 0.1 * min_extent:
+        # Flat object: a single outline face at the original heights.
+        return [vertices[hull.vertices]]
+
+    z_lo, z_hi = float(z.min()), float(z.max())
+    outline = pts2d[hull.vertices]
+    bottom = np.column_stack([outline, np.full(len(outline), z_lo)])
+    top = np.column_stack([outline, np.full(len(outline), z_hi)])
+    sides = []
+    for i in range(len(outline)):
+        j = (i + 1) % len(outline)
+        sides.append(np.array([bottom[i], bottom[j], top[j], top[i]]))
+    return [bottom, top] + sides
+
+
+def _downsample_outline(pts: np.ndarray, max_points: int) -> np.ndarray:
+    """Pick <= max_points representative outline points.
+
+    Farthest-point sampling seeded with the axis extremes, so the polygon's
+    reach is preserved while interior/duplicate points drop out.
+    """
+    pts = np.unique(np.round(pts, 6), axis=0)
+    if len(pts) <= max_points:
+        return pts
+    seeds = {int(np.argmin(pts[:, 0])), int(np.argmax(pts[:, 0])),
+             int(np.argmin(pts[:, 1])), int(np.argmax(pts[:, 1]))}
+    chosen = list(seeds)
+    dist = np.full(len(pts), np.inf)
+    for idx in chosen:
+        dist = np.minimum(dist, np.linalg.norm(pts[:, :2] - pts[idx, :2], axis=1))
+    while len(chosen) < max_points:
+        nxt = int(np.argmax(dist))
+        if dist[nxt] <= 0:
+            break
+        chosen.append(nxt)
+        dist = np.minimum(dist, np.linalg.norm(pts[:, :2] - pts[nxt, :2], axis=1))
+    return pts[sorted(chosen)]
+
+
+def _min_perimeter_cycle(pts2d: np.ndarray) -> List[int]:
+    """Exact minimal-perimeter Hamiltonian cycle (bitmask DP, n <= ~14).
+
+    For points in the plane the shortest closed tour is always a *simple*
+    polygon (a crossing can be uncrossed to shorten it), so — unlike the
+    reference's intersection-checked search (deepmimo/scene.py:975-1034) —
+    minimizing perimeter alone reconstructs a non-self-intersecting
+    boundary.
+    """
+    n = len(pts2d)
+    if n <= 3:
+        return list(range(n))
+    dmat = np.linalg.norm(pts2d[:, None] - pts2d[None, :], axis=-1)
+    full = 1 << n
+    INF = np.inf
+    # dp[mask][j] = shortest path visiting `mask`, starting at 0, ending j
+    dp = np.full((full, n), INF)
+    parent = np.full((full, n), -1, dtype=np.int32)
+    dp[1][0] = 0.0
+    for mask in range(1, full):
+        if not mask & 1:
+            continue
+        ends = np.nonzero(np.isfinite(dp[mask]))[0]
+        for j in ends:
+            base = dp[mask][j]
+            for k in range(1, n):
+                if mask >> k & 1:
+                    continue
+                nm = mask | (1 << k)
+                cand = base + dmat[j, k]
+                if cand < dp[nm][k]:
+                    dp[nm][k] = cand
+                    parent[nm][k] = j
+    closing = dp[full - 1] + dmat[:, 0]
+    closing[0] = INF
+    j = int(np.argmin(closing))
+    order, mask = [], full - 1
+    while j != -1:
+        order.append(j)
+        pj = parent[mask][j]
+        mask ^= 1 << j
+        j = pj
+    return order[::-1]
+
+
+def _drop_collinear(pts: np.ndarray, order: List[int],
+                    angle_tol_deg: float = 1.0) -> List[int]:
+    """Remove cycle points whose turn angle is within tol of straight."""
+    n = len(order)
+    if n <= 3:
+        return order
+    keep = []
+    for i in range(n):
+        p0 = pts[order[i - 1], :2]
+        p1 = pts[order[i], :2]
+        p2 = pts[order[(i + 1) % n], :2]
+        a, b = p1 - p0, p2 - p1
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na < 1e-12 or nb < 1e-12:
+            continue
+        cosang = np.clip(np.dot(a, b) / (na * nb), -1.0, 1.0)
+        if np.degrees(np.arccos(cosang)) > angle_tol_deg:
+            keep.append(order[i])
+    return keep if len(keep) >= 3 else order
+
+
+def _planar_outline_face(vertices: np.ndarray, z_tolerance: float = 0.1,
+                         max_points: int = 12) -> List[np.ndarray]:
+    """Reconstruct one (possibly non-convex) planar polygon from a point soup.
+
+    The road-polygon capability of the reference's detailed mode
+    (deepmimo/scene.py:1239-1274): downsample to representative outline
+    points, order them with an exact minimal-perimeter cycle (simple by
+    construction), then drop collinear points.
+    """
+    if not np.allclose(vertices[:, 2], vertices[0, 2], atol=z_tolerance):
+        raise ValueError("Vertices are not planar (z spread exceeds tolerance)")
+    pts = _downsample_outline(vertices, max_points)
+    order = _min_perimeter_cycle(pts[:, :2])
+    order = _drop_collinear(pts, order)
+    return [pts[order]]
+
+
+def get_object_faces(vertices: np.ndarray, fast: Optional[bool] = None,
+                     decimals: int = 2) -> Optional[List[np.ndarray]]:
+    """Build polygonal faces for one physical object from its vertex soup.
+
+    Modes (signature parity with reference deepmimo/scene.py:1276-1306):
+
+    - ``fast=True``: convex-hull prism — footprint hull extruded over the
+      z range (flat objects collapse to a single outline face).
+    - ``fast=False``: geometry-preserving. Near-planar soups (roads) are
+      reconstructed as one possibly non-convex outline polygon; full-3D
+      soups fall back to coplanar triangle clustering.
+    - ``fast=None`` (default): coplanar clustering of a triangle list —
+      the exact path used by this package's converters, which receive
+      structured triangles rather than bare point clouds.
+    """
+    vertices = np.asarray(vertices, dtype=np.float64)
+    if vertices.ndim == 2 and len(vertices) < 3:
+        return None
+    if fast is True:
+        return _hull_prism_faces(vertices.reshape(-1, 3))
+    if fast is False:
+        flat = vertices.reshape(-1, 3)
+        if np.allclose(flat[:, 2], flat[0, 2], atol=0.1):
+            return _planar_outline_face(flat)
+        # fall through to coplanar clustering for true 3D soups
+    return _coplanar_cluster_faces(vertices, decimals)
+
+
+def _coplanar_cluster_faces(vertices: np.ndarray,
+                            decimals: int = 2) -> List[np.ndarray]:
     """Group a vertex soup into planar faces (coplanar clustering).
 
     Utility for converters that receive unstructured triangle lists: groups

@@ -121,6 +121,82 @@ def test_scene_roundtrip(tmp_path):
     assert len(loaded.get_objects(material=2)) == 1
 
 
+def test_object_faces_fast_prism():
+    from deepmimo_tpu.scene import get_object_faces
+    rng = np.random.RandomState(0)
+    # Box-ish 3D soup: unit-square footprint, 0..5m tall
+    base = rng.uniform(0, 1, (40, 2))
+    corners = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    pts2d = np.vstack([base, corners])
+    z = rng.uniform(0, 5, (len(pts2d), 1))
+    z[:4] = 0.0
+    z[4:8] = 5.0
+    verts = np.hstack([pts2d, z])
+    faces = get_object_faces(verts, fast=True)
+    # bottom + top + one quad per hull edge (hull = the 4 corners)
+    assert len(faces) == 2 + 4
+    zs = np.concatenate([f[:, 2] for f in faces])
+    assert zs.min() == 0.0 and zs.max() == 5.0
+
+    # Flat soup (road): single outline face at original height
+    flat = np.hstack([pts2d * [100, 3], np.full((len(pts2d), 1), 1.5)])
+    faces = get_object_faces(flat, fast=True)
+    assert len(faces) == 1
+    assert np.allclose(faces[0][:, 2], 1.5)
+
+    # Degenerate (collinear) -> None, as in the reference
+    line = np.column_stack([np.linspace(0, 9, 10), np.zeros(10), np.zeros(10)])
+    assert get_object_faces(line, fast=True) is None
+
+
+def test_object_faces_road_polygon():
+    """Non-convex planar outline reconstructed as a simple polygon."""
+    from deepmimo_tpu.scene import get_object_faces
+    # L-shaped road outline, shuffled point order
+    outline = np.array([[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10]],
+                       dtype=float)
+    rng = np.random.RandomState(3)
+    perm = rng.permutation(len(outline))
+    verts = np.hstack([outline[perm], np.zeros((len(outline), 1))])
+    faces = get_object_faces(verts, fast=False)
+    assert len(faces) == 1
+    poly = faces[0][:, :2]
+    assert len(poly) == 6  # all corners kept, no collinear extras
+    assert len(np.unique(poly, axis=0)) == 6
+
+    # The reconstruction must be a SIMPLE polygon (no edge crossings) ...
+    def _crosses(p1, p2, q1, q2):
+        def ccw(a, b, c):
+            return (c[1] - a[1]) * (b[0] - a[0]) > (b[1] - a[1]) * (c[0] - a[0])
+        return (ccw(p1, q1, q2) != ccw(p2, q1, q2)
+                and ccw(p1, p2, q1) != ccw(p1, p2, q2))
+
+    n = len(poly)
+    edges = [(poly[i], poly[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent via wraparound
+            assert not _crosses(*edges[i], *edges[j]), (i, j)
+
+    # ... and capture the non-convexity: strictly less area than the hull
+    x, y = poly[:, 0], poly[:, 1]
+    area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    assert area < 100.0 - 1e-6  # hull (10x10 square) area is 100
+
+    # An unambiguous outline IS recovered exactly: thin rectangle road
+    rect = np.array([[0, 0], [50, 0], [50, 3], [0, 3]], dtype=float)
+    mids = np.array([[10, 0], [20, 0], [30, 3], [40, 3]], dtype=float)
+    pts = np.vstack([rect, mids])[rng.permutation(8)]
+    verts = np.hstack([pts, np.full((8, 1), 0.5)])
+    faces = get_object_faces(verts, fast=False)
+    poly = faces[0][:, :2]
+    x, y = poly[:, 0], poly[:, 1]
+    area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    assert abs(area - 150.0) < 1e-9  # collinear mid-edge points dropped
+    assert len(poly) == 4
+
+
 def test_txrx_pairs(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     folder = str(tmp_path / "deepmimo_scenarios" / "txrx_scen")
@@ -132,6 +208,62 @@ def test_txrx_pairs(tmp_path, monkeypatch):
     assert len(pairs) == 1
     assert pairs[0].tx.name == "bs"
     dm.print_available_txrx_pair_ids("txrx_scen")
+
+
+def test_convert_cli_loop(tmp_path, monkeypatch, capsys):
+    """Batch converter: converts good runs, collects errors, retries."""
+    from deepmimo_tpu.scripts.convert_cli import main
+    from test_sionna_converter import _make_sionna_export
+
+    monkeypatch.chdir(tmp_path)
+    base = tmp_path / "runs"
+    _make_sionna_export(str(base / "run_a"))
+    (base / "run_bad").mkdir(parents=True)  # nothing to sniff -> error
+
+    log = str(tmp_path / "errs.json")
+    rc = main([str(base), "--error-log", log])
+    assert rc == 1  # one failure recorded
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["converted"] == ["run_a"]
+    assert report["errors"][0][0] == "run_bad"
+    with open(log) as f:
+        assert json.load(f)[0][0] == "run_bad"
+
+    # Retry mode only touches the failed folder; fix it first
+    _make_sionna_export(str(base / "run_bad"))
+    rc = main([str(base), "--retry", "--error-log", log])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["converted"] == ["run_bad"]
+    assert not os.path.exists(log)  # cleared after successful retry
+
+
+def test_csv_gen_cli(tmp_path, capsys):
+    from deepmimo_tpu.scripts.csv_gen_cli import main
+    from deepmimo_tpu.pipelines.runner import read_pipeline_csv
+    from deepmimo_tpu.pipelines.geo_utils import bbox_size_meters
+
+    cities = tmp_path / "worldcities.csv"
+    cities.write_text(
+        "city,city_ascii,lat,lng,population\n"
+        "Tokyo,Tokyo,35.6897,139.6922,37977000\n"
+        "Smallville,Smallville,40.0,-90.0,1200\n"
+        "São Paulo,Sao Paulo,-23.5504,-46.6339,22046000\n")
+    out = tmp_path / "pipeline.csv"
+    rc = main([str(cities), str(out), "--box-m", "400", "--num-bs", "2",
+               "--bs-height", "12"])
+    assert rc == 0
+
+    rows = read_pipeline_csv(str(out))
+    assert len(rows) == 2  # population filter drops Smallville
+    assert "tokyo" in rows[0].name and "sao_paulo" in rows[1].name
+    for row in rows:
+        w, h = bbox_size_meters(row.gps_bbox)
+        assert abs(w - 400) < 5 and abs(h - 400) < 5
+        assert len(row.bs_lats) == 2 and row.bs_heights == [12.0, 12.0]
+        for blat, blon in zip(row.bs_lats, row.bs_lons):
+            assert row.min_lat < blat < row.max_lat
+            assert row.min_lon < blon < row.max_lon
 
 
 def test_linear_path():
