@@ -65,7 +65,8 @@ def bench_tpu(data):
     cfg = ChannelConfig(bs_shape=BS_SHAPE, ue_shape=UE_SHAPE,
                         freq_domain=True, subcarriers=N_FFT,
                         selected_subcarriers=SEL_SC, bandwidth=BANDWIDTH,
-                        num_paths=MAX_PATHS, dtype="complex64")
+                        num_paths=MAX_PATHS, dtype="complex64",
+                        backend="fused")
     bs = AntennaPanel.make()
     ue = AntennaPanel.make()
 
@@ -80,7 +81,12 @@ def bench_tpu(data):
 
     # Serving pattern: channels land in HBM as float32 real/imag planes
     # (skips the complexification pass; consumers view them for free).
-    render = jax.jit(render_channels_planes, static_argnames=("cfg",))
+    # User-block slicing happens INSIDE the jitted call: eager slice_users
+    # dispatches 9 small device ops per block, which costs ~5 ms/block
+    # through this runtime's dispatch path.
+    render = jax.jit(
+        lambda p, b, u, i: render_channels_planes(
+            p.slice_users(i, USER_BLOCK), b, u, cfg))
 
     dev_paths = jax.device_put(paths)
 
@@ -95,12 +101,12 @@ def bench_tpu(data):
                for _ in range(5))
 
     # Warm-up compile + result sanity
-    out0 = render(dev_paths.slice_users(0, USER_BLOCK), bs, ue, cfg)
+    out0 = render(dev_paths, bs, ue, 0)
     assert np.isfinite(float(jax.device_get(out0[0, 0, 0, 0, 0])))
 
     def sweep():
-        outs = [render(dev_paths.slice_users(i * USER_BLOCK, USER_BLOCK),
-                       bs, ue, cfg) for i in range(n_blocks)]
+        outs = [render(dev_paths, bs, ue, i * USER_BLOCK)
+                for i in range(n_blocks)]
         # Device executions on one stream are ordered: reading an element
         # of the LAST output proves every block render completed with its
         # H tile in HBM.

@@ -232,6 +232,78 @@ def _td_channel_planes_ri(arx, atx, gr, gi):
     return er * g_r - ei * g_i, er * g_i + ei * g_r
 
 
+def _k_progression(cfg: ChannelConfig):
+    """(k0, stride) if selected subcarriers form an arithmetic progression.
+
+    Static (cfg is hashable/static under jit), so this gates compile-time
+    dispatch to the fused kernel. Single subcarrier counts with stride 1.
+    """
+    ks = tuple(int(k) for k in cfg.selected_subcarriers)
+    if len(ks) == 1:
+        return ks[0], 1
+    d = ks[1] - ks[0]
+    if d != 0 and all(b - a == d for a, b in zip(ks, ks[1:])):
+        return ks[0], d
+    return None
+
+
+def _fused_render_eligible(cfg: ChannelConfig) -> bool:
+    from .pallas.render import pick_user_tile
+    if not (cfg.freq_domain and not cfg.rx_filter
+            and cfg.dtype == "complex64" and _k_progression(cfg)):
+        return False
+    return pick_user_tile(0, cfg.ue_shape, cfg.bs_shape, cfg.num_paths,
+                          len(cfg.selected_subcarriers)) > 0
+
+
+def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
+                         valid, powers_lin, aod_theta, aod_phi, aoa_theta,
+                         aoa_phi, t_snap):
+    """Fully-fused OFDM render: per-path scalars -> H planes, one kernel.
+
+    HBM traffic collapses to ~the output tensor; array responses, E, g and
+    matmul partials stay in VMEM (see ops/pallas/render.py).
+    """
+    from .geometry import array_response_phase
+    from .pallas.render import fused_render, pick_user_tile
+
+    rd = _rd(cfg)
+    z = lambda x: jnp.where(valid, x, 0.0).astype(rd)
+    _, gry, grz = array_response_phase(aoa_theta, aoa_phi,
+                                       2 * jnp.pi * ue.spacing)
+    _, gty, gtz = array_response_phase(aod_theta, aod_phi,
+                                       2 * jnp.pi * bs.spacing)
+
+    n_fft = cfg.subcarriers
+    delay_n = paths.delay_s * cfg.bandwidth
+    pvalid = valid & (delay_n < n_fft)
+    amp = jnp.where(pvalid, jnp.sqrt(powers_lin / n_fft), 0.0).astype(rd)
+
+    k0, stride = _k_progression(cfg)
+    omega_base = (2 * jnp.pi / n_fft) * delay_n
+    psi = jnp.deg2rad(paths.phase_deg) - omega_base * k0
+    if cfg.enable_doppler and paths.doppler_vel is not None:
+        t = paths.delay_s + t_snap
+        psi = psi - 2 * jnp.pi * cfg.carrier_freq * (
+            paths.doppler_vel * t / c.LIGHTSPEED +
+            paths.doppler_acc * (t * t) / (2 * c.LIGHTSPEED))
+    psi = psi.astype(rd)
+    omega = (omega_base * stride).astype(rd)
+
+    n_k = len(cfg.selected_subcarriers)
+    ut = pick_user_tile(paths.n_ue, cfg.ue_shape, cfg.bs_shape,
+                        cfg.num_paths, n_k)
+    interpret = jax.default_backend() == "cpu"
+    hr, hi = fused_render(z(gry), z(grz), z(gty), z(gtz), amp, psi, omega,
+                          cfg.ue_shape, cfg.bs_shape, n_k,
+                          user_tile=ut, interpret=interpret,
+                          mm_dtype=cfg.matmul_dtype)
+    u = paths.n_ue
+    r = cfg.ue_shape[0] * cfg.ue_shape[1]
+    t = cfg.bs_shape[0] * cfg.bs_shape[1]
+    return hr.reshape(u, r, t, n_k), hi.reshape(u, r, t, n_k)
+
+
 def _path_sum_pallas(cfg: ChannelConfig, arx, atx, powers_lin,
                      paths: PathData, valid, t_snap):
     """Fused Pallas path-sum: E/g intermediates never leave VMEM."""
@@ -323,15 +395,25 @@ def render_channels_planes(paths: PathData, bs: AntennaPanel,
             doppler_acc=None if paths.doppler_acc is None
             else take(paths.doppler_acc))
 
-    arx = array_response_planes(cfg.ue_shape, ue.spacing, aoa_theta,
-                                aoa_phi, valid)
-    atx = array_response_planes(cfg.bs_shape, bs.spacing, aod_theta,
-                                aod_phi, valid)
+    use_fused = (cfg.backend in ("pallas", "fused")
+                 and cfg.freq_domain and _fused_render_eligible(cfg))
+
+    if use_fused:
+        arx = atx = None  # array responses are built in-VMEM by the kernel
+    else:
+        arx = array_response_planes(cfg.ue_shape, ue.spacing, aoa_theta,
+                                    aoa_phi, valid)
+        atx = array_response_planes(cfg.bs_shape, bs.spacing, aod_theta,
+                                    aod_phi, valid)
 
     snapshots = cfg.doppler_times if cfg.enable_doppler else (0.0,)
     outs = []
     for t_snap in snapshots:
-        if cfg.freq_domain:
+        if use_fused:
+            hr, hi = _render_fused_planes(cfg, paths, bs, ue, valid,
+                                          powers_lin, aod_theta, aod_phi,
+                                          aoa_theta, aoa_phi, t_snap)
+        elif cfg.freq_domain:
             gr, gi = _ofdm_gain_planes(cfg, powers_lin, paths.delay_s,
                                        paths.phase_deg, valid, t_snap,
                                        paths)

@@ -84,3 +84,83 @@ def test_render_channels_pallas_backend():
                                                      backend="pallas")))
     scale = np.abs(h_xla).max()
     np.testing.assert_allclose(h_pal, h_xla, atol=1e-5 * scale)
+
+
+def test_fused_render_kernel_matches_reference():
+    """ops/pallas/render.py fused kernel vs its XLA reference, incl. grads."""
+    from deepmimo_tpu.ops.pallas.render import fused_render, _reference_impl
+
+    rng = np.random.RandomState(0)
+    U, P, K = 24, 25, 16
+    mk = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, (U, P)), jnp.float32)
+    args = (mk(-3, 3), mk(-3, 3), mk(-3, 3), mk(-3, 3),
+            mk(0, 1e-4), mk(-3, 3), mk(0, 6))
+    for rx_shape, tx_shape in [((1, 1), (8, 8)), ((2, 2), (4, 2)),
+                               ((1, 1), (1, 1))]:
+        ref = _reference_impl(*args, rx_shape, tx_shape, K)
+        out = fused_render(*args, rx_shape, tx_shape, K, 8, True)
+        for a, b in zip(ref, out):
+            scale = float(jnp.abs(a).max())
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=3e-5 * scale)
+
+    def loss(fn):
+        def f(a):
+            hr, hi = fn(a)
+            return jnp.sum(hr ** 2 + hi ** 2)
+        return f
+
+    g1 = jax.grad(loss(lambda a: fused_render(*a, (1, 1), (4, 4), 8, 8,
+                                              True)))(args)
+    g2 = jax.grad(loss(lambda a: _reference_impl(*a, (1, 1), (4, 4),
+                                                 8)))(args)
+    for a, b in zip(g1, g2):
+        scale = float(jnp.abs(b).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4 * scale)
+
+
+def test_render_channels_planes_fused_backend():
+    """backend='fused' planes renderer matches 'xla' across configs."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle import make_synthetic_paths
+    from deepmimo_tpu.ops.types import (PathData, AntennaPanel,
+                                        ChannelConfig)
+    from deepmimo_tpu.ops.channel import render_channels_planes
+
+    data = make_synthetic_paths(n_ue=12, max_paths=8, seed=3,
+                                with_doppler=True)
+    paths = PathData.from_numpy(
+        power=data["power"], phase=data["phase"], delay=data["delay"],
+        aoa_az=data["aoa_az"], aoa_el=data["aoa_el"],
+        aod_az=data["aod_az"], aod_el=data["aod_el"],
+        doppler_vel=data["doppler_vel"], doppler_acc=data["doppler_acc"],
+        dtype=jnp.float32)
+    bs = AntennaPanel.make((10.0, 20.0, 30.0))
+    ue = AntennaPanel.make()
+
+    cases = [
+        dict(bs_shape=(4, 4), ue_shape=(1, 1),
+             selected_subcarriers=tuple(range(16))),
+        dict(bs_shape=(2, 2), ue_shape=(2, 1),
+             selected_subcarriers=tuple(range(0, 64, 4))),  # stride 4
+        dict(bs_shape=(4, 2), ue_shape=(1, 1), selected_subcarriers=(5,)),
+        dict(bs_shape=(2, 2), ue_shape=(1, 1),
+             selected_subcarriers=tuple(range(8)),
+             bs_pattern="halfwave-dipole", bs_fov=(120.0, 90.0)),
+        dict(bs_shape=(2, 2), ue_shape=(1, 1),
+             selected_subcarriers=tuple(range(8)),
+             enable_doppler=True, doppler_times=(0.0, 1e-3)),
+    ]
+    for kw in cases:
+        cfg_x = ChannelConfig(freq_domain=True, subcarriers=64,
+                              bandwidth=10e6, num_paths=8,
+                              dtype="complex64", backend="xla", **kw)
+        cfg_f = dataclasses.replace(cfg_x, backend="fused")
+        hx = np.asarray(render_channels_planes(paths, bs, ue, cfg_x))
+        hf = np.asarray(render_channels_planes(paths, bs, ue, cfg_f))
+        assert hx.shape == hf.shape
+        scale = np.abs(hx).max()
+        np.testing.assert_allclose(hf, hx, atol=5e-5 * scale)
