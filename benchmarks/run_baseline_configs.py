@@ -72,7 +72,7 @@ def bench_tpu(data, spec):
         enable_doppler=bool(spec.get("doppler")),
         doppler_times=tuple(np.linspace(0, 1e-2, spec.get("n_times", 1)))
         if spec.get("doppler") else (0.0,),
-        dtype="complex64")
+        dtype="complex64", backend="fused")
     bs = AntennaPanel.make(spec.get("bs_rot", (0, 0, 0)))
     ue = AntennaPanel.make()
     paths = PathData.from_numpy(**data, dtype=jnp.float32)
@@ -86,9 +86,12 @@ def bench_tpu(data, spec):
     n_blocks = max(N_UE // block, 1)
 
     from deepmimo_tpu.ops.channel import render_channels_planes
-    render = jax.jit(render_channels_planes, static_argnames=("cfg",))
+    # Slice inside jit: eager slice_users costs ~5 ms/block in dispatch.
+    render = jax.jit(
+        lambda p, b, u, i: render_channels_planes(
+            p.slice_users(i, block), b, u, cfg))
     dev_paths = jax.device_put(paths)
-    out = render(dev_paths.slice_users(0, block), bs, ue, cfg)
+    out = render(dev_paths, bs, ue, 0)
     # block_until_ready returns early through the relay: sync via readback
     float(jax.device_get(out.ravel()[-1]))
 
@@ -100,7 +103,7 @@ def bench_tpu(data, spec):
                for _ in range(5))
 
     def sweep():
-        outs = [render(dev_paths.slice_users(i * block, block), bs, ue, cfg)
+        outs = [render(dev_paths, bs, ue, i * block)
                 for i in range(n_blocks)]
         float(jax.device_get(outs[-1].ravel()[-1]))
 
