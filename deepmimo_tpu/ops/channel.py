@@ -247,22 +247,31 @@ def _k_progression(cfg: ChannelConfig):
     return None
 
 
+def _fused_n_snap(cfg: ChannelConfig) -> int:
+    return len(cfg.doppler_times) if cfg.enable_doppler else 1
+
+
 def _fused_render_eligible(cfg: ChannelConfig) -> bool:
     from .pallas.render import pick_user_tile
     if not (cfg.freq_domain and not cfg.rx_filter
             and cfg.dtype == "complex64" and _k_progression(cfg)):
         return False
     return pick_user_tile(0, cfg.ue_shape, cfg.bs_shape, cfg.num_paths,
-                          len(cfg.selected_subcarriers)) > 0
+                          len(cfg.selected_subcarriers),
+                          _fused_n_snap(cfg)) > 0
 
 
 def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
                          valid, powers_lin, aod_theta, aod_phi, aoa_theta,
-                         aoa_phi, t_snap):
+                         aoa_phi):
     """Fully-fused OFDM render: per-path scalars -> H planes, one kernel.
 
     HBM traffic collapses to ~the output tensor; array responses, E, g and
-    matmul partials stay in VMEM (see ops/pallas/render.py).
+    matmul partials stay in VMEM (see ops/pallas/render.py). All Doppler
+    snapshots render in the SAME kernel call: per-snapshot phases ride the
+    subcarrier axis, so panel responses and subcarrier tables are built
+    once instead of once per snapshot. Returns one (hr, hi) pair
+    [U, R, T, K] per snapshot.
     """
     from .geometry import array_response_phase
     from .pallas.render import fused_render, pick_user_tile
@@ -281,27 +290,37 @@ def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
 
     k0, stride = _k_progression(cfg)
     omega_base = (2 * jnp.pi / n_fft) * delay_n
-    psi = jnp.deg2rad(paths.phase_deg) - omega_base * k0
+    psi0 = jnp.deg2rad(paths.phase_deg) - omega_base * k0
+    snapshots = cfg.doppler_times if cfg.enable_doppler else (0.0,)
+    n_s = len(snapshots)
     if cfg.enable_doppler and paths.doppler_vel is not None:
-        t = paths.delay_s + t_snap
-        psi = psi - 2 * jnp.pi * cfg.carrier_freq * (
-            paths.doppler_vel * t / c.LIGHTSPEED +
-            paths.doppler_acc * (t * t) / (2 * c.LIGHTSPEED))
-    psi = psi.astype(rd)
+        psis = []
+        for t_snap in snapshots:
+            t = paths.delay_s + t_snap
+            psis.append(psi0 - 2 * jnp.pi * cfg.carrier_freq * (
+                paths.doppler_vel * t / c.LIGHTSPEED +
+                paths.doppler_acc * (t * t) / (2 * c.LIGHTSPEED)))
+        psi = jnp.stack(psis, axis=1)                     # [U, S, P]
+    else:
+        psi = jnp.broadcast_to(psi0[:, None, :],
+                               (psi0.shape[0], n_s, psi0.shape[1]))
+    u, p = amp.shape
+    psi = psi.reshape(u, n_s * p).astype(rd)
     omega = (omega_base * stride).astype(rd)
 
     n_k = len(cfg.selected_subcarriers)
-    ut = pick_user_tile(paths.n_ue, cfg.ue_shape, cfg.bs_shape,
-                        cfg.num_paths, n_k)
+    ut = pick_user_tile(u, cfg.ue_shape, cfg.bs_shape,
+                        cfg.num_paths, n_k, n_s)
     interpret = jax.default_backend() == "cpu"
     hr, hi = fused_render(z(gry), z(grz), z(gty), z(gtz), amp, psi, omega,
                           cfg.ue_shape, cfg.bs_shape, n_k,
                           user_tile=ut, interpret=interpret,
                           mm_dtype=cfg.matmul_dtype)
-    u = paths.n_ue
     r = cfg.ue_shape[0] * cfg.ue_shape[1]
     t = cfg.bs_shape[0] * cfg.bs_shape[1]
-    return hr.reshape(u, r, t, n_k), hi.reshape(u, r, t, n_k)
+    hr = hr.reshape(u, r, t, n_s, n_k)
+    hi = hi.reshape(u, r, t, n_s, n_k)
+    return [(hr[..., s, :], hi[..., s, :]) for s in range(n_s)]
 
 
 def _path_sum_pallas(cfg: ChannelConfig, arx, atx, powers_lin,
@@ -407,13 +426,18 @@ def render_channels_planes(paths: PathData, bs: AntennaPanel,
                                     aod_phi, valid)
 
     snapshots = cfg.doppler_times if cfg.enable_doppler else (0.0,)
+    if use_fused:
+        pairs = _render_fused_planes(cfg, paths, bs, ue, valid,
+                                     powers_lin, aod_theta, aod_phi,
+                                     aoa_theta, aoa_phi)
+        outs = [jnp.stack(hp) for hp in pairs]
+        if cfg.enable_doppler and len(snapshots) > 1:
+            return jnp.stack(outs, axis=-1)
+        return outs[0]
+
     outs = []
     for t_snap in snapshots:
-        if use_fused:
-            hr, hi = _render_fused_planes(cfg, paths, bs, ue, valid,
-                                          powers_lin, aod_theta, aod_phi,
-                                          aoa_theta, aoa_phi, t_snap)
-        elif cfg.freq_domain:
+        if cfg.freq_domain:
             gr, gi = _ofdm_gain_planes(cfg, powers_lin, paths.delay_s,
                                        paths.phase_deg, valid, t_snap,
                                        paths)

@@ -63,8 +63,13 @@ def _best_l1(k: int) -> int:
 
 def _reference_impl(gry, grz, gty, gtz, amp, psi, omega,
                     rx_shape, tx_shape, n_k):
-    """Same math, plain XLA, direct (non-tabled) phases."""
+    """Same math, plain XLA, direct (non-tabled) phases.
+
+    psi may carry a folded snapshot axis: [U, S*P] renders S time
+    snapshots stacked along the output k axis -> [U, Q, S*n_k].
+    """
     u, p = amp.shape
+    n_s = psi.shape[1] // p
     r1, r2 = rx_shape
     t1, t2 = tx_shape
 
@@ -86,12 +91,14 @@ def _reference_impl(gry, grz, gty, gtz, amp, psi, omega,
     er, ei = er.reshape(u, q, p), ei.reshape(u, q, p)
 
     ks = jnp.arange(n_k, dtype=amp.dtype)
-    base = psi[..., None] - omega[..., None] * ks
-    gr = amp[..., None] * jnp.cos(base)
-    gi = amp[..., None] * jnp.sin(base)
+    base = (psi.reshape(u, n_s, p)[..., None] -
+            omega[:, None, :, None] * ks)                  # [u, s, p, k]
+    gr = amp[:, None, :, None] * jnp.cos(base)
+    gi = amp[:, None, :, None] * jnp.sin(base)
 
-    mm = lambda a, b: jnp.einsum("uqp,upk->uqk", a, b,
-                                 preferred_element_type=jnp.float32)
+    mm = lambda a, b: jnp.einsum("uqp,uspk->uqsk", a, b,
+                                 preferred_element_type=jnp.float32
+                                 ).reshape(u, a.shape[1], n_s * n_k)
     return mm(er, gr) - mm(ei, gi), mm(er, gi) + mm(ei, gr)
 
 
@@ -102,8 +109,10 @@ def _reference_impl(gry, grz, gty, gtz, amp, psi, omega,
 def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
             hr_ref, hi_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype):
     f32 = jnp.float32
-    amp, psi, omega = amp_ref[:], psi_ref[:], omega_ref[:]
+    amp, omega = amp_ref[:], omega_ref[:]
+    psi_s = psi_ref[:]                                     # [ut, n_s, p]
     ut, p = amp.shape
+    n_s = psi_s.shape[1]
 
     def response(ky, kz, m1, m2):
         """Separable panel response -> (re, im) [ut, m1*m2, p]."""
@@ -134,20 +143,25 @@ def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
     # (k on sublanes, p on lanes) so the table outer-product reshape
     # collapses non-minor dims — Mosaic rejects minor-dim collapses.
     l2 = n_k // l1
-    cr, ci = amp * jnp.cos(psi), amp * jnp.sin(psi)        # [ut, p]
+    # amp*exp(j psi) per snapshot ([ut, s, p]); the snapshot axis rides
+    # the k axis from here on (tables are snapshot-invariant).
+    cr = amp[:, None, :] * jnp.cos(psi_s)
+    ci = amp[:, None, :] * jnp.sin(psi_s)
     kiot = lambda n: jax.lax.broadcasted_iota(
         jnp.int32, (ut, n, p), 1).astype(f32)
     ph1 = -kiot(l1) * omega[:, None, :]
     ph2 = -kiot(l2) * (float(l1) * omega)[:, None, :]
     c1, s1 = jnp.cos(ph1), jnp.sin(ph1)                    # [ut, l1, p]
     c2, s2 = jnp.cos(ph2), jnp.sin(ph2)                    # [ut, l2, p]
-    # fold amp*exp(j psi) into the coarse table
-    t2r = cr[:, None, :] * c2 - ci[:, None, :] * s2
-    t2i = cr[:, None, :] * s2 + ci[:, None, :] * c2
-    gr = (t2r[:, :, None, :] * c1[:, None, :, :] -
-          t2i[:, :, None, :] * s1[:, None, :, :]).reshape(ut, n_k, p)
-    gi = (t2r[:, :, None, :] * s1[:, None, :, :] +
-          t2i[:, :, None, :] * c1[:, None, :, :]).reshape(ut, n_k, p)
+    # fold amp*exp(j psi) into the coarse table -> [ut, s, l2, p]
+    t2r = cr[:, :, None, :] * c2[:, None] - ci[:, :, None, :] * s2[:, None]
+    t2i = cr[:, :, None, :] * s2[:, None] + ci[:, :, None, :] * c2[:, None]
+    gr = (t2r[:, :, :, None, :] * c1[:, None, None, :, :] -
+          t2i[:, :, :, None, :] * s1[:, None, None, :, :]
+          ).reshape(ut, n_s * n_k, p)
+    gi = (t2r[:, :, :, None, :] * s1[:, None, None, :, :] +
+          t2i[:, :, :, None, :] * c1[:, None, None, :, :]
+          ).reshape(ut, n_s * n_k, p)
 
     # One packed MXU dot contracting p on both sides:
     # [ut, 2q, p] x [ut, 2k, p] -> [ut, 2q, 2k]
@@ -159,35 +173,39 @@ def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
     m = jax.lax.dot_general(e2, g2, dimension_numbers=dn,
                             preferred_element_type=f32)
     q = r * t
-    hr_ref[:] = m[:, :q, :n_k] - m[:, q:, n_k:]
-    hi_ref[:] = m[:, :q, n_k:] + m[:, q:, :n_k]
+    sk = n_s * n_k
+    hr_ref[:] = m[:, :q, :sk] - m[:, q:, sk:]
+    hi_ref[:] = m[:, :q, sk:] + m[:, q:, :sk]
 
 
 def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
-                  n_k: int) -> int:
+                  n_k: int, n_s: int = 1) -> int:
     """Rough VMEM bytes for one tile (padded to (8, 128) f32 tiles)."""
     pad = lambda a, b: _ceil_to(max(a, 1), 8) * _ceil_to(max(b, 1), 128) * 4
     r = rx_shape[0] * rx_shape[1]
     t = tx_shape[0] * tx_shape[1]
     q = r * t
+    sk = n_s * n_k
     per_u = (
         2 * (pad(rx_shape[0], p) + pad(rx_shape[1], p)) +
         2 * (pad(tx_shape[0], p) + pad(tx_shape[1], p)) +
         2 * (pad(r, p) + pad(t, p)) +      # arx, atx
         2 * pad(2 * q, p) +                # er/ei + packed copy
-        4 * pad(p, n_k) + pad(p, 2 * n_k) +  # tables + gr/gi + packed
-        pad(2 * q, 2 * n_k) +              # dot output
-        2 * 2 * pad(q, n_k)                # H planes (double-buffered)
+        4 * pad(p, n_k) +                  # subcarrier tables
+        2 * n_s * pad(p, n_k) +            # t2 coarse fold per snapshot
+        4 * pad(p, sk) + pad(p, 2 * sk) +  # gr/gi + packed
+        pad(2 * q, 2 * sk) +               # dot output
+        2 * 2 * pad(q, sk)                 # H planes (double-buffered)
     )
-    return user_tile * per_u + 7 * user_tile * 128 * 4
+    return user_tile * per_u + 8 * user_tile * 128 * 4
 
 
 def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
-                   budget: int = 10 * 2**20) -> int:
+                   n_s: int = 1, budget: int = 10 * 2**20) -> int:
     """Largest tile under the VMEM budget (0 = does not fit; u is padded
     up to a tile multiple by the caller, so no divisibility constraint)."""
     for ut in (64, 32, 16, 8):
-        if vmem_estimate(ut, rx_shape, tx_shape, p, n_k) <= budget:
+        if vmem_estimate(ut, rx_shape, tx_shape, p, n_k, n_s) <= budget:
             return ut
     return 0
 
@@ -210,7 +228,10 @@ def fused_render(gry, grz, gty, gtz, amp, psi, omega,
         gty/gtz: TX equivalents [U, P].
         amp: per-path linear amplitude, 0 for invalid/over-FFT paths.
         psi: per-path phase at subcarrier 0 (radians, incl. Doppler and
-            the k0 offset fold-in) [U, P].
+            the k0 offset fold-in) [U, P] — or [U, S*P] to render S
+            Doppler snapshots in one call, stacked along the output k
+            axis ([U, Q, S*n_k]); panel responses and subcarrier tables
+            are then built once for all snapshots.
         omega: per-subcarrier-step phase slope 2*pi*delay_n*stride/N.
         rx_shape/tx_shape: static panel shapes (M1, M2).
         n_k: number of subcarriers rendered (arithmetic progression).
@@ -227,27 +248,34 @@ def fused_render(gry, grz, gty, gtz, amp, psi, omega,
 def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
               n_k, user_tile, interpret, mm_dtype="float32"):
     u, p = amp.shape
+    n_s = psi.shape[1] // p
     q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
     u_pad = _ceil_to(u, user_tile)
 
-    args = [gry, grz, gty, gtz, amp, psi, omega]
+    # psi ships as a 3D [U, S, P] block: the kernel must not split the
+    # minor (lane) dim, so the snapshot axis is materialized here.
+    args = [gry, grz, gty, gtz, amp, psi.reshape(u, n_s, p), omega]
     if u_pad != u:
-        args = [jnp.pad(x, ((0, u_pad - u), (0, 0))) for x in args]
+        args = [jnp.pad(x, ((0, u_pad - u),) + ((0, 0),) * (x.ndim - 1))
+                for x in args]
 
     l1 = _best_l1(n_k)
     grid = (u_pad // user_tile,)
     spec_up = pl.BlockSpec((user_tile, p), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((user_tile, q, n_k), lambda i: (i, 0, 0),
+    spec_psi = pl.BlockSpec((user_tile, n_s, p), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((user_tile, q, n_s * n_k), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, rx_shape=rx_shape, tx_shape=tx_shape,
                              n_k=n_k, l1=l1, mm_dtype=mm_dtype)
     hr, hi = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[spec_up] * 7,
+        in_specs=[spec_up] * 5 + [spec_psi, spec_up],
         out_specs=[out_spec] * 2,
-        out_shape=[jax.ShapeDtypeStruct((u_pad, q, n_k), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((u_pad, q, n_s * n_k),
+                                        jnp.float32)] * 2,
         interpret=interpret,
     )(*args)
     return hr[:u], hi[:u]

@@ -104,6 +104,17 @@ def test_fused_render_kernel_matches_reference():
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=3e-5 * scale)
 
+    # Folded snapshot axis: psi [U, S*P] -> H [U, Q, S*K]
+    psi_s = jnp.asarray(rng.uniform(-3, 3, (U, 3 * P)), jnp.float32)
+    args_s = args[:5] + (psi_s,) + args[6:]
+    ref = _reference_impl(*args_s, (2, 1), (4, 4), K)
+    out = fused_render(*args_s, (2, 1), (4, 4), K, 8, True)
+    assert out[0].shape == (U, 2 * 16, 3 * K)
+    for a, b in zip(ref, out):
+        scale = float(jnp.abs(a).max())
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-5 * scale)
+
     def loss(fn):
         def f(a):
             hr, hi = fn(a)
