@@ -143,9 +143,60 @@ def _ofdm_path_gains(cfg: ChannelConfig, powers_lin, delays, phase_deg, valid,
     return g.astype(cfg.cdtype)
 
 
-def _compact_perm(valid: jax.Array) -> jax.Array:
-    """Per-user permutation packing valid path slots to the front (stable)."""
-    return jnp.argsort(~valid, axis=1, stable=True)
+def _td_compact_active(cfg: ChannelConfig) -> bool:
+    """Static decision: does the TD render need path compaction?
+
+    Loader/converter path data is tail-padded (validity front-packed), so
+    only FoV filtering can punch interior holes. See
+    ChannelConfig.compact_td_paths.
+    """
+    if not cfg.compact_td_paths:
+        return False
+    if cfg.compact_td_paths == "auto":
+        return ((cfg.bs_fov is not None and not is_full_fov(cfg.bs_fov)) or
+                (cfg.ue_fov is not None and not is_full_fov(cfg.ue_fov)))
+    return True
+
+
+def _compact_paths(cfg, paths: PathData, valid, powers_lin, aod_theta,
+                   aod_phi, aoa_theta, aoa_phi):
+    """Pack valid path slots to the front (reference TD output ordering,
+    reference generator/channel.py:287).
+
+    Uses a cumsum-rank one-hot permutation applied as one batched matmul
+    instead of argsort + per-array gathers: measured ~100x cheaper on TPU
+    v5e (sorts lower to sorting networks, gathers to scalar loads; the
+    permutation matmul is exact — each output row selects one input).
+    """
+    rd = _rd(cfg)
+    u, p = valid.shape
+    v = valid.astype(rd)
+    rank_valid = jnp.cumsum(v, axis=1) - 1
+    n_valid = jnp.sum(v, axis=1, keepdims=True)
+    rank_invalid = jnp.cumsum(1.0 - v, axis=1) - 1
+    dest = jnp.where(valid, rank_valid, n_valid + rank_invalid)   # [U, P]
+    slots = jnp.arange(p, dtype=rd)
+    onehot = (dest[:, None, :] == slots[None, :, None]).astype(rd)
+
+    arrs = [powers_lin, aod_theta, aod_phi, aoa_theta, aoa_phi,
+            paths.power_dbw, paths.phase_deg, paths.delay_s,
+            paths.aoa_az_deg, paths.aoa_el_deg, paths.aod_az_deg,
+            paths.aod_el_deg]
+    if paths.doppler_vel is not None:
+        arrs += [paths.doppler_vel, paths.doppler_acc]
+    stacked = jnp.stack([a.astype(rd) for a in arrs], axis=-1)
+    out = jnp.einsum("uds,usa->uda", onehot, stacked,
+                     preferred_element_type=rd)
+    cols = [out[..., i] for i in range(len(arrs))]
+    new_valid = slots[None, :] < n_valid
+    new_paths = PathData(
+        power_dbw=cols[5], phase_deg=cols[6], delay_s=cols[7],
+        aoa_az_deg=cols[8], aoa_el_deg=cols[9], aod_az_deg=cols[10],
+        aod_el_deg=cols[11], valid=new_valid,
+        doppler_vel=cols[12] if paths.doppler_vel is not None else None,
+        doppler_acc=cols[13] if paths.doppler_vel is not None else None)
+    return (new_paths, new_valid, cols[0], cols[1], cols[2], cols[3],
+            cols[4])
 
 
 # ============================================================================
@@ -396,23 +447,10 @@ def render_channels_planes(paths: PathData, bs: AntennaPanel,
     powers_lin = _powers_linear(cfg, paths, valid, aod_theta, aod_phi,
                                 aoa_theta, aoa_phi)
 
-    if not cfg.freq_domain and cfg.compact_td_paths:
-        perm = _compact_perm(valid)
-        take = lambda x: jnp.take_along_axis(x, perm, axis=1)
-        valid = take(valid)
-        powers_lin = take(powers_lin)
-        aod_theta, aod_phi = take(aod_theta), take(aod_phi)
-        aoa_theta, aoa_phi = take(aoa_theta), take(aoa_phi)
-        paths = PathData(
-            power_dbw=take(paths.power_dbw), phase_deg=take(paths.phase_deg),
-            delay_s=take(paths.delay_s), aoa_az_deg=take(paths.aoa_az_deg),
-            aoa_el_deg=take(paths.aoa_el_deg),
-            aod_az_deg=take(paths.aod_az_deg),
-            aod_el_deg=take(paths.aod_el_deg), valid=valid,
-            doppler_vel=None if paths.doppler_vel is None
-            else take(paths.doppler_vel),
-            doppler_acc=None if paths.doppler_acc is None
-            else take(paths.doppler_acc))
+    if not cfg.freq_domain and _td_compact_active(cfg):
+        (paths, valid, powers_lin, aod_theta, aod_phi, aoa_theta,
+         aoa_phi) = _compact_paths(cfg, paths, valid, powers_lin,
+                                   aod_theta, aod_phi, aoa_theta, aoa_phi)
 
     use_fused = (cfg.backend in ("pallas", "fused")
                  and cfg.freq_domain and _fused_render_eligible(cfg))
@@ -477,25 +515,12 @@ def render_channels(paths: PathData, bs: AntennaPanel, ue: AntennaPanel,
     powers_lin = _powers_linear(cfg, paths, valid, aod_theta, aod_phi,
                                 aoa_theta, aoa_phi)
 
-    if not cfg.freq_domain and cfg.compact_td_paths:
+    if not cfg.freq_domain and _td_compact_active(cfg):
         # Reference packs valid paths to the front of the path axis in the
         # time-domain output (channel.py:287); permute inputs equivalently.
-        perm = _compact_perm(valid)
-        take = lambda x: jnp.take_along_axis(x, perm, axis=1)
-        valid = take(valid)
-        powers_lin = take(powers_lin)
-        aod_theta, aod_phi = take(aod_theta), take(aod_phi)
-        aoa_theta, aoa_phi = take(aoa_theta), take(aoa_phi)
-        paths = PathData(
-            power_dbw=take(paths.power_dbw), phase_deg=take(paths.phase_deg),
-            delay_s=take(paths.delay_s), aoa_az_deg=take(paths.aoa_az_deg),
-            aoa_el_deg=take(paths.aoa_el_deg),
-            aod_az_deg=take(paths.aod_az_deg),
-            aod_el_deg=take(paths.aod_el_deg), valid=valid,
-            doppler_vel=None if paths.doppler_vel is None
-            else take(paths.doppler_vel),
-            doppler_acc=None if paths.doppler_acc is None
-            else take(paths.doppler_acc))
+        (paths, valid, powers_lin, aod_theta, aod_phi, aoa_theta,
+         aoa_phi) = _compact_paths(cfg, paths, valid, powers_lin,
+                                   aod_theta, aod_phi, aoa_theta, aoa_phi)
 
     # Fast plane-based path: f32 outputs, no sinc filter (freq and time
     # domain). The complex128 (parity) and LPF paths go through the

@@ -14,7 +14,7 @@ spacing, doppler times) lives in ``AntennaPanel`` / ``PathData`` pytrees.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -149,8 +149,12 @@ class ChannelConfig:
     enable_doppler: bool = False
     carrier_freq: float = 3.5e9
     doppler_times: Tuple[float, ...] = (0.0,)
-    # Time-domain path compaction (reference packs valid paths to the front)
-    compact_td_paths: bool = True
+    # Time-domain path compaction (reference packs valid paths to the
+    # front of the path axis). "auto" compacts only when an FoV filter is
+    # active — loader/converter path data is tail-padded, so validity is
+    # already front-packed unless FoV punches holes. True always compacts
+    # (needed only for hand-built interior-invalid path data); False never.
+    compact_td_paths: Union[bool, str] = "auto"
     # Precision of the complex output
     dtype: str = "complex64"
     # Matmul input precision for the path-sum ("float32" default;

@@ -208,6 +208,29 @@ def test_time_domain_compacts_valid_paths_to_front():
     np.testing.assert_allclose(got, ref, atol=1e-12)
 
 
+def test_time_domain_compact_always_interior_holes():
+    """compact_td_paths=True packs hand-built interior-invalid slots."""
+    data = make_synthetic_paths(n_ue=6, max_paths=5, seed=21)
+    # Punch a hole in the middle of every user's path list.
+    for key in ("power", "phase", "delay", "aoa_az", "aoa_el", "aod_az",
+                "aod_el"):
+        data[key][:, 2] = np.nan
+    got = _render(data, ChannelConfig(
+        bs_shape=(2, 1), ue_shape=(1, 1), freq_domain=False, num_paths=5,
+        compact_td_paths=True, **F64))
+    ref = oracle_channels(**{k: data[k] for k in
+                             ("power", "phase", "delay", "aoa_az", "aoa_el",
+                              "aod_az", "aod_el")},
+                          bs_shape=(2, 1), ue_shape=(1, 1),
+                          freq_domain=False, num_paths=5)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+    # And "auto" (no FoV) must NOT compact: the hole slot stays zero.
+    got_auto = _render(data, ChannelConfig(
+        bs_shape=(2, 1), ue_shape=(1, 1), freq_domain=False, num_paths=5,
+        **F64))
+    assert np.all(got_auto[..., 2] == 0)
+
+
 def test_float32_accuracy_vs_float64():
     """The f32 TPU path stays within mixed-precision tolerance of f64."""
     data = make_synthetic_paths(n_ue=16, max_paths=8, seed=20)
