@@ -83,6 +83,60 @@ _INFO = {
     c.DOPPLER_ACC_PARAM_NAME: (
         "Per-path radial acceleration in m/s^2 (mobility scenarios), "
         "[n_ue, n_paths]."),
+    # Scenario metadata attached by load() (reference info.py:88-97)
+    "txrx_sets": (
+        "Transmitter/receiver set definitions from params.json: per-set "
+        "id, role (tx/rx), number of points and antennas."),
+    "rt_params": (
+        "Ray-tracing parameters the scenario was generated with: carrier "
+        "frequency, bounce limits (reflection/diffraction/scattering/"
+        "transmission), ray counts, GPS bounding box."),
+    "scene": (
+        "Scene object holding the 3D geometry (vertices, faces, objects) "
+        "used by the ray tracer; supports 2D/3D plotting."),
+    "materials": (
+        "MaterialList of electromagnetic materials in the scene: "
+        "permittivity, conductivity, scattering model and coefficients."),
+    # ChannelGenParameters fields (reference info.py:99-151)
+    "bs_antenna": (
+        "BS antenna settings group: shape, spacing, rotation, "
+        "radiation_pattern (and FoV when set)."),
+    "bs_antenna.shape": (
+        "BS panel dimensions [horizontal, vertical]; e.g. [8, 1] is an "
+        "8-element uniform linear array. Default [8, 1]."),
+    "bs_antenna.spacing": (
+        "BS element spacing in wavelengths. Default 0.5."),
+    "bs_antenna.rotation": (
+        "BS array rotation [az, el, tilt] in degrees. Default [0, 0, 0]."),
+    "bs_antenna.radiation_pattern": (
+        "BS element pattern: 'isotropic' (default) or 'halfwave-dipole'."),
+    "ue_antenna": (
+        "UE antenna settings group: same fields as bs_antenna; rotation "
+        "may be a [3, 2] range to draw one random rotation per user. "
+        "Default shape [1, 1]."),
+    "ofdm": (
+        "OFDM settings group: subcarriers, selected_subcarriers, "
+        "bandwidth, rx_filter."),
+    "ofdm.subcarriers": (
+        "FFT size (total number of subcarriers). Default 512."),
+    "ofdm.selected_subcarriers": (
+        "Indices of the subcarriers to generate (subset of the FFT). "
+        "Default [0]."),
+    "ofdm.bandwidth": (
+        "Total OFDM bandwidth in Hz; sets the subcarrier spacing "
+        "(bandwidth / subcarriers). Default 10e6."),
+    "ofdm.rx_filter": (
+        "Receive low-pass (sinc) filter applied to path delays before the "
+        "subcarrier DFT. 0 = off (default), 1 = on."),
+    "freq_domain": (
+        "1 = OFDM frequency-domain channels (default); 0 = time-domain "
+        "per-path complex gains."),
+    "enable_doppler": (
+        "1 = apply per-path Doppler phase rotations from path velocity/"
+        "acceleration over time snapshots. Default 0."),
+    "enable_dual_polar": (
+        "1 = generate dual-polarized (VV/VH/HV/HH) channels when the "
+        "scenario provides cross-polarized path data. Default 0."),
 }
 
 

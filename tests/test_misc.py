@@ -291,6 +291,27 @@ def test_info_prints(capsys):
     assert "alias" not in capsys.readouterr().out  # info() resolves silently
 
 
+def test_info_covers_reference_registry(capsys):
+    # Every key the reference documents (info.py:11-159: fundamental +
+    # computed matrices, scenario metadata, channel-param help) has an
+    # entry here too.
+    ref_keys = [
+        "power", "phase", "delay", "aoa_az", "aoa_el", "aod_az", "aod_el",
+        "rx_pos", "tx_pos", "inter", "inter_pos", "channel", "num_paths",
+        "num_interactions", "power_linear", "pathloss", "distance", "los",
+        "inter_str", "inter_int", "txrx_sets", "rt_params", "scene",
+        "materials", "bs_antenna", "bs_antenna.shape", "bs_antenna.spacing",
+        "bs_antenna.rotation", "bs_antenna.radiation_pattern", "ue_antenna",
+        "ofdm", "ofdm.subcarriers", "ofdm.selected_subcarriers",
+        "ofdm.bandwidth", "ofdm.rx_filter", "freq_domain", "enable_doppler",
+        "enable_dual_polar",
+    ]
+    for key in ref_keys:
+        dm.info(key)
+        out = capsys.readouterr().out
+        assert "No info available" not in out, f"missing info for {key!r}"
+
+
 def test_checkpoint_resume(tmp_path, monkeypatch):
     """Interrupted generation resumes from persisted blocks."""
     folder = str(tmp_path / "ck_scen")
