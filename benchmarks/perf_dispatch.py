@@ -46,6 +46,10 @@ for blk in (16384, 131072):
     nb = N_UE // blk
     def sweep():
         outs = [render(paths, bs, ue, i * blk, blk) for i in range(nb)]
+        # Sync on ALL outputs: single-stream ordering makes the last block
+        # sufficient on one device, but on any multi-device/async layout
+        # earlier blocks could still be in flight (advisor round 1).
+        jax.block_until_ready(outs)
         float(jax.device_get(outs[-1][1, -1, 0, -1, -1]))
     t = min_time(sweep)
     dev = max(t - t_rt, 1e-9)

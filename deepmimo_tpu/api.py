@@ -56,6 +56,66 @@ def _sha256_of_file(path: str) -> str:
 
 
 # ============================================================================
+# Website submission metadata
+# ============================================================================
+
+def generate_key_components(summary_str: str) -> Dict[str, Any]:
+    """Parse a scenario summary into the website's key-component sections.
+
+    The database indexes submissions by these sections (capability parity
+    with reference deepmimo/api.py:277-360): the summary's ``[Section]``
+    headers become section names; within a section, a bare line starts a
+    subsection and ``- `` lines under it become list items. The returned
+    structure is ``{"sections": [{"name", "description"(html)}]}``.
+    """
+    sections: List[Dict[str, str]] = []
+    name: Optional[str] = None
+    body: List[str] = []
+
+    def flush():
+        if name is not None:
+            sections.append({"name": name,
+                             "description": _section_html(body)})
+
+    for raw in summary_str.splitlines():
+        line = raw.strip()
+        if not line or set(line) == {"="}:
+            continue
+        if line[0] == "[" and line[-1] == "]":
+            flush()
+            name, body = line[1:-1], []
+        elif name is not None:
+            body.append(line)
+    flush()
+    return {"sections": sections}
+
+
+def _section_html(lines: List[str]) -> str:
+    """Render one section's lines to the HTML fragment the website stores."""
+    groups: List[List[str]] = []
+    for line in lines:
+        if line.startswith("-"):
+            if not groups:
+                groups.append([])
+            groups[-1].append(line)
+        else:
+            groups.append([line])
+
+    parts: List[str] = []
+    for grp in groups:
+        header, items = grp[0], grp[1:]
+        if not items:
+            parts.append(f"<p>{header}</p>")
+            continue
+        parts.append(f"<h4>{header}</h4>")
+        parts.append("<ul>")
+        parts.extend(f"<li>{it[2:]}</li>" for it in items)
+        parts.append("</ul>")
+    inner = "".join(parts)
+    return f'<div class="section-content">{inner}</div>'
+
+
+# ============================================================================
 # Upload
 # ============================================================================
 
@@ -86,12 +146,15 @@ def upload(scenario_name: str, key: str,
                  headers={"Content-Type": "application/zip",
                           "X-Content-Sha256": sha}, method="PUT",
                  timeout=600.0)
-    # 3) register the submission with its params summary
+    # 3) register the submission with its params summary + the parsed
+    #    key components the database indexes for search
     from .summary import summary as _summary
+    summary_str = _summary(scenario_name, print_summary=False)
     body = json.dumps({
         "scenario": scenario_name,
         "sha256": sha,
-        "summary": _summary(scenario_name, print_summary=False),
+        "summary": summary_str,
+        "key_components": generate_key_components(summary_str),
     }).encode()
     submission = json.loads(_request(
         f"{_endpoint()}/api/submissions", data=body,

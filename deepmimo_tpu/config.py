@@ -37,6 +37,7 @@ class DeepMIMOConfig:
         # Compute settings (TPU-native additions)
         "use_gpu": False,                 # kept for API parity; unused
         "compute_dtype": "complex64",     # channel output dtype
+        "render_backend": "fused",        # path-sum backend: fused|pallas|xla
         "user_block": 2048,               # users per device batch in streaming mode
         "mesh_axis_users": "users",       # mesh axis name for user sharding
         "mesh_axis_tile": "tile",         # mesh axis name for subcarrier/antenna tiles

@@ -147,6 +147,14 @@ class Dataset(DotDict):
             ue_rotation=ue_rotation,
             dtype=config.get("compute_dtype"))
 
+        if cfg.freq_domain:
+            report = delay_clipping_report(
+                _np(self[c.DELAY_PARAM_NAME]), _np(self[c.POWER_PARAM_NAME]),
+                cfg.subcarriers, cfg.bandwidth)
+            if report is not None:
+                _print_delay_clipping_warning(report)
+                self["clipping_report"] = report
+
         if params.get(c.PARAMSET_POLAR_EN, 0):
             channel = self._compute_dual_polar(cfg, bs_panel, ue_panel)
         else:
@@ -602,6 +610,65 @@ def _render_ri(paths, bs_panel, ue_panel, cfg):
     """
     from ..ops.channel import render_channels_planes
     return render_channels_planes(paths, bs_panel, ue_panel, cfg)
+
+
+def delay_clipping_report(delays_s, powers_dbw, n_fft: int,
+                          bandwidth: float):
+    """Aggregate over-OFDM-symbol stats, or None when nothing clips.
+
+    OFDM path construction zeroes paths whose delay exceeds the symbol
+    duration N/B; the reference warns at generation time with config
+    guidance (reference deepmimo/generator/channel.py:228-250) and its v3
+    PathVerifier aggregates the clipped-power statistics
+    (deepmimo_v3/generator/python/utils.py:15-40). This computes both.
+    """
+    delays = np.asarray(delays_s, dtype=np.float64)
+    powers = np.asarray(powers_dbw, dtype=np.float64)
+    symbol_t = n_fft / bandwidth
+    valid = ~np.isnan(delays)
+    clipped = valid & (delays >= symbol_t)
+    if not clipped.any():
+        return None
+
+    p_lin = np.where(valid, 10.0 ** (powers / 10.0), 0.0)
+    total_pwr = p_lin.sum(axis=1)
+    clip_pwr = np.where(clipped, p_lin, 0.0).sum(axis=1)
+    users_hit = clipped.any(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        frac = np.where(total_pwr > 0, clip_pwr / total_pwr, 0.0)
+    return {
+        "symbol_duration_s": symbol_t,
+        "subcarriers": n_fft,
+        "bandwidth_hz": bandwidth,
+        "max_delay_s": float(np.nanmax(delays)),
+        "n_clipped_paths": int(clipped.sum()),
+        "n_total_paths": int(valid.sum()),
+        "n_users_affected": int(users_hit.sum()),
+        "n_users": int(delays.shape[0]),
+        "mean_clipped_power_pct": float(100 * frac[users_hit].mean()),
+        "max_clipped_power_pct": float(100 * frac.max()),
+    }
+
+
+def _print_delay_clipping_warning(r: dict) -> None:
+    sc_spacing = r["bandwidth_hz"] / r["subcarriers"]
+    print("\nWarning: Some path delays exceed the OFDM symbol duration")
+    print("-" * 50)
+    print(f"- Subcarriers (N): {r['subcarriers']}, bandwidth (B): "
+          f"{r['bandwidth_hz']/1e6:.1f} MHz, subcarrier spacing: "
+          f"{sc_spacing/1e3:.1f} kHz")
+    print(f"- Symbol duration (N/B): {r['symbol_duration_s']*1e6:.1f} us, "
+          f"max path delay: {r['max_delay_s']*1e6:.1f} us")
+    print(f"- Clipped paths: {r['n_clipped_paths']}/{r['n_total_paths']} "
+          f"across {r['n_users_affected']}/{r['n_users']} users")
+    print(f"- Clipped power (affected users): "
+          f"mean {r['mean_clipped_power_pct']:.2f}%, "
+          f"max {r['max_clipped_power_pct']:.2f}%")
+    print("Paths arriving after the symbol duration are zeroed. To avoid "
+          "clipping: increase subcarriers (N), decrease bandwidth (B), or "
+          "switch to time-domain generation (ch_params['freq_domain'] = 0). "
+          "See dataset.plot_power_discarding() / dataset.clipping_report.")
+    print("-" * 50)
 
 
 def _get_complex(out_ri) -> np.ndarray:

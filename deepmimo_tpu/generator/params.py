@@ -15,6 +15,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from .. import consts as c
+from ..config import config as _config
 from ..utils import DotDict, compare_two_dicts
 from ..ops.types import AntennaPanel, ChannelConfig
 
@@ -152,6 +153,7 @@ class ChannelGenParameters(DotDict):
             carrier_freq=float(self.get(c.PARAMSET_CARRIER_FREQ, 3.5e9)),
             doppler_times=tuple(float(t) for t in times),
             dtype=dtype,
+            backend=_config.get("render_backend", "fused"),
         )
 
         if ue_rotation is None:

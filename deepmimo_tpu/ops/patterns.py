@@ -25,7 +25,12 @@ def _pattern_halfwave_dipole(theta_rad: jax.Array,
     """
     max_gain = 1.643
     sin_t = jnp.sin(theta_rad)
-    valid = jnp.abs(sin_t) > 1e-10
+    # Signed guard: theta is in [0, pi] (arccos range) so sin >= 0
+    # analytically, but float32 rounds theta ~ 179.996 deg to float32(pi)
+    # whose sine is ~-8.7e-8 — a tiny NEGATIVE gain that turns sqrt(power)
+    # into NaN downstream. Treat sin below 1e-7 (theta within ~6e-6 deg of
+    # either dipole axis, where the analytic gain limit is 0) as the axis.
+    valid = sin_t > 1e-7
     sin_safe = jnp.where(valid, sin_t, 1.0)
     cos_term = jnp.cos(jnp.pi / 2 * jnp.cos(theta_rad))
     return jnp.where(valid, max_gain * cos_term * cos_term / sin_safe, 0.0)

@@ -22,49 +22,80 @@ def summary(scenario_name: str, print_summary: bool = True) -> str:
     scene = params.get(c.SCENE_PARAM_NAME, {})
     materials = params.get(c.MATERIALS_PARAM_NAME, {})
 
+    # Website-compatible layout: `[Section]` headers, bare subsection lines,
+    # `- ` items — the same grammar api.generate_key_components parses into
+    # the submission metadata the database indexes (reference
+    # deepmimo/api.py:277-360, summary.py:66-176).
     lines = [
-        f"DeepMIMO Scenario: {scenario_name}",
+        "=" * 50,
+        f"DeepMIMO {scenario_name} Scenario Summary",
         "=" * 50,
         "",
-        "Ray tracing",
-        "-" * 50,
-        f"  Engine: {rt.get(c.RT_PARAM_RAYTRACER, '?')} "
+        "[Ray-Tracing Configuration]",
+        f"Engine: {rt.get(c.RT_PARAM_RAYTRACER, '?')} "
         f"v{rt.get(c.RT_PARAM_RAYTRACER_VERSION, '?')}",
-        f"  Frequency: {float(rt.get(c.RT_PARAM_FREQUENCY, 0))/1e9:.3f} GHz",
-        f"  Max path depth: {rt.get(c.RT_PARAM_PATH_DEPTH, '?')} "
-        f"(R={rt.get(c.RT_PARAM_MAX_REFLECTIONS, '?')}, "
-        f"D={rt.get(c.RT_PARAM_MAX_DIFFRACTIONS, '?')}, "
-        f"S={rt.get(c.RT_PARAM_MAX_SCATTERING, '?')}, "
-        f"T={rt.get(c.RT_PARAM_MAX_TRANSMISSIONS, '?')})",
-        f"  Rays: {rt.get(c.RT_PARAM_NUM_RAYS, '?')}",
+        f"- Frequency: {float(rt.get(c.RT_PARAM_FREQUENCY, 0))/1e9:.3f} GHz",
         "",
-        "TX/RX sets",
-        "-" * 50,
+        "[Ray-tracing parameters]",
+        "Interaction limits",
+        f"- Max path depth: {rt.get(c.RT_PARAM_PATH_DEPTH, '?')}",
+        f"- Max reflections: {rt.get(c.RT_PARAM_MAX_REFLECTIONS, '?')}",
+        f"- Max diffractions: {rt.get(c.RT_PARAM_MAX_DIFFRACTIONS, '?')}",
+        f"- Max scatterings: {rt.get(c.RT_PARAM_MAX_SCATTERING, '?')}",
+        f"- Max transmissions: {rt.get(c.RT_PARAM_MAX_TRANSMISSIONS, '?')}",
+        "Ray casting",
+        f"- Number of rays: {rt.get(c.RT_PARAM_NUM_RAYS, '?')}",
+        "",
+        "[Scene]",
+        f"- Number of scenes: {scene.get(c.SCENE_PARAM_NUMBER_SCENES, 1)}",
+        f"- Total objects: {scene.get(c.SCENE_PARAM_N_OBJECTS, '?')}",
+        f"- Vertices: {scene.get(c.SCENE_PARAM_N_VERTICES, '?')}",
+        f"- Faces: {scene.get(c.SCENE_PARAM_N_FACES, '?')}",
+        f"- Triangular faces: "
+        f"{scene.get(c.SCENE_PARAM_N_TRIANGULAR_FACES, '?')}",
+        "",
+        "[Materials]",
+        f"Total materials: {len(materials)}",
     ]
-    for key in sorted(txrx.keys()):
-        s = txrx[key]
-        role = ("TX" if s.get(c.TXRX_PARAM_IS_TX) else "") + \
-               ("RX" if s.get(c.TXRX_PARAM_IS_RX) else "")
-        lines.append(
-            f"  [{s.get('id')}] {s.get('name', key)} ({role}): "
-            f"{s.get(c.TXRX_PARAM_NUM_POINTS)} points "
-            f"({s.get(c.TXRX_PARAM_NUM_ACTIVE_POINTS, '?')} active), "
-            f"{s.get(c.TXRX_PARAM_NUM_ANT, 1)} antenna(s)")
-
-    lines += ["", "Scene", "-" * 50,
-              f"  Objects: {scene.get(c.SCENE_PARAM_N_OBJECTS, '?')}, "
-              f"vertices: {scene.get(c.SCENE_PARAM_N_VERTICES, '?')}, "
-              f"faces: {scene.get(c.SCENE_PARAM_N_FACES, '?')} "
-              f"({scene.get(c.SCENE_PARAM_N_TRIANGULAR_FACES, '?')} tris)",
-              f"  Snapshots: {scene.get(c.SCENE_PARAM_NUMBER_SCENES, 1)}",
-              "", "Materials", "-" * 50]
     for key in sorted(materials.keys()):
         m = materials[key]
-        lines.append(
-            f"  [{m.get('id')}] {m.get('name', key)}: "
-            f"eps={m.get(c.MATERIALS_PARAM_PERMITTIVITY)}, "
-            f"sigma={m.get(c.MATERIALS_PARAM_CONDUCTIVITY)}, "
-            f"scattering={m.get(c.MATERIALS_PARAM_SCATTERING_MODEL)}")
+        lines += [
+            f"{m.get('name', key)}:",
+            f"- Permittivity: {m.get(c.MATERIALS_PARAM_PERMITTIVITY)}",
+            f"- Conductivity: {m.get(c.MATERIALS_PARAM_CONDUCTIVITY)} S/m",
+            f"- Scattering model: "
+            f"{m.get(c.MATERIALS_PARAM_SCATTERING_MODEL)}",
+        ]
+
+    lines += ["", "[TX/RX Configuration]"]
+    n_rx = sum(int(s.get(c.TXRX_PARAM_NUM_ACTIVE_POINTS, 0) or 0)
+               for s in txrx.values() if s.get(c.TXRX_PARAM_IS_RX))
+    n_tx = sum(int(s.get(c.TXRX_PARAM_NUM_ACTIVE_POINTS, 0) or 0)
+               for s in txrx.values() if s.get(c.TXRX_PARAM_IS_TX))
+    lines += [f"Total number of receivers: {n_rx}",
+              f"Total number of transmitters: {n_tx}"]
+    for key in sorted(txrx.keys()):
+        s = txrx[key]
+        role = " & ".join(r for r, on in
+                          (("TX", s.get(c.TXRX_PARAM_IS_TX)),
+                           ("RX", s.get(c.TXRX_PARAM_IS_RX))) if on)
+        lines += [
+            f"{key} ({s.get('name', key)}):",
+            f"- Role: {role}",
+            f"- Total points: {s.get(c.TXRX_PARAM_NUM_POINTS)}",
+            f"- Active points: "
+            f"{s.get(c.TXRX_PARAM_NUM_ACTIVE_POINTS, '?')}",
+            f"- Antennas per point: {s.get(c.TXRX_PARAM_NUM_ANT, 1)}",
+            f"- Dual polarization: {s.get(c.TXRX_PARAM_DUAL_POL, False)}",
+        ]
+
+    bbox = rt.get(c.RT_PARAM_GPS_BBOX)
+    if bbox and tuple(bbox) != (0, 0, 0, 0):
+        lines += ["", "[GPS Bounding Box]",
+                  f"- Min latitude: {bbox[0]:.2f}",
+                  f"- Min longitude: {bbox[1]:.2f}",
+                  f"- Max latitude: {bbox[2]:.2f}",
+                  f"- Max longitude: {bbox[3]:.2f}"]
 
     text = "\n".join(lines)
     if print_summary:

@@ -299,3 +299,46 @@ def test_dynamic_scenario(tmp_path):
     assert len(chs) == 3
     for ch in chs:
         assert ch.shape == (8, 1, 8, 1)
+
+
+def test_delay_clipping_warning(capsys):
+    """Over-OFDM-symbol paths trigger the aggregate clipping warning
+    (reference generator/channel.py:228-250 + v3 PathVerifier stats)."""
+    from deepmimo_tpu.generator.dataset import delay_clipping_report
+
+    n_ue, p = 8, 4
+    rng = np.random.RandomState(0)
+    power = rng.uniform(-100, -80, (n_ue, p))
+    delay = np.full((n_ue, p), 1e-6)
+    delay[2, 1] = 80e-6   # > 512/10e6 = 51.2 us symbol
+    delay[5, 3] = 60e-6
+    data = {
+        "power": power, "phase": np.zeros((n_ue, p)), "delay": delay,
+        "aoa_az": np.zeros((n_ue, p)), "aoa_el": np.full((n_ue, p), 90.0),
+        "aod_az": np.zeros((n_ue, p)), "aod_el": np.full((n_ue, p), 90.0),
+        "rx_pos": np.zeros((n_ue, 3)), "tx_pos": np.zeros((1, 3)),
+    }
+    ds = dm.Dataset({k: np.asarray(v, dtype=np.float32)
+                     for k, v in data.items()})
+    ds.compute_channels()
+    out = capsys.readouterr().out
+    assert "exceed the OFDM symbol duration" in out
+    assert "Clipped paths: 2/32" in out
+
+    r = ds.clipping_report
+    assert r["n_clipped_paths"] == 2
+    assert r["n_users_affected"] == 2
+    assert 0 < r["mean_clipped_power_pct"] <= 100
+
+    # no false positive when all delays fit
+    rep = delay_clipping_report(np.full((4, 2), 1e-6),
+                                np.full((4, 2), -90.0), 512, 10e6)
+    assert rep is None
+
+    # time domain: no warning
+    ds2 = dm.Dataset({k: np.asarray(v, dtype=np.float32)
+                      for k, v in data.items()})
+    params = dm.ChannelGenParameters()
+    params["freq_domain"] = 0
+    ds2.compute_channels(params)
+    assert "exceed" not in capsys.readouterr().out

@@ -163,6 +163,14 @@ def test_upload_download_search(tmp_path, monkeypatch, mock_server):
     assert mock_server.received["submission"]["scenario"] == "api_scen"
     assert len(mock_server.received["zip"]) > 1000
 
+    # website key components ride the submission (reference api.py:277-360)
+    kc = mock_server.received["submission"]["key_components"]
+    names = [sec["name"] for sec in kc["sections"]]
+    assert "Ray-Tracing Configuration" in names
+    assert "TX/RX Configuration" in names
+    assert all("<div class=\"section-content\">" in sec["description"]
+               for sec in kc["sections"])
+
     # search
     names = dm.search({"environment": "outdoor"})
     assert names == ["city_a", "city_b"]
@@ -185,3 +193,41 @@ def test_api_error_offline(monkeypatch):
             dm.search({"q": 1})
     finally:
         dm.config.set("api_endpoint", "https://dev.deepmimo.net")
+
+
+
+def test_key_components_match_reference_parser(tmp_path, monkeypatch):
+    """Our summary->key-components pipeline produces the same payload
+    structure the reference's parser would (whitespace-insensitive), so
+    database-side search indexes identically."""
+    import re
+    import sys
+
+    monkeypatch.chdir(tmp_path)
+    folder = str(tmp_path / "deepmimo_scenarios" / "kc_scen")
+    write_synthetic_scenario(folder, n_ue=8, max_paths=4, seed=3,
+                             grid=(4, 2))
+    text = dm.summary("kc_scen", print_summary=False)
+
+    from deepmimo_tpu.api import generate_key_components
+    ours = generate_key_components(text)
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        for mod in list(sys.modules):
+            if mod == "deepmimo" or mod.startswith("deepmimo."):
+                del sys.modules[mod]
+        from deepmimo.api import _generate_key_components as ref_parse
+        theirs = ref_parse(text)
+    finally:
+        sys.path.remove("/root/reference")
+        for mod in list(sys.modules):
+            if mod == "deepmimo" or mod.startswith("deepmimo."):
+                del sys.modules[mod]
+
+    norm = lambda h: re.sub(r">\s+<", "><",
+                            re.sub(r"\s+", " ", h)).strip()
+    assert [s_["name"] for s_ in ours["sections"]] == \
+        [s_["name"] for s_ in theirs["sections"]]
+    for a, b in zip(ours["sections"], theirs["sections"]):
+        assert norm(a["description"]) == norm(b["description"]), a["name"]
