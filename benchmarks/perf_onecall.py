@@ -2,17 +2,19 @@
 
 Round 1's bench dispatched 8 x 16,384-user blocks; at ~5-10 ms dispatch
 through the axon relay the chip sat >90% idle (VERDICT weak #1). This
-measures the same 131,072-user x 64-ant x 64-sc workload as:
+measures the 131,072-user x 64-ant x 64-sc workload as:
 
-  A. blocked   — 8 eager dispatches of 16k users (round-1 shape)
-  B. one-call  — one jitted render_channels_planes over all users
+  B. one-call  — one jitted render_channels_planes over all users (fused)
   C. one-call, bf16 matmul inputs
   D. prologue-only (angles/powers, no path-sum) — isolates kernel cost
+  E. one-call, XLA planes backend (fusion comparison)
 
-plus the relay round-trip floor, so the table separates dispatch overhead
-from device compute. Run on the real TPU:
+plus the relay round-trip floor. Findings that shaped the code: the fused
+kernel now writes ONE stacked [2, U, Q, K] buffer (separate hr/hi planes +
+jnp.stack doubled peak memory to ~8.6 GB and OOMed the chip); warm-up
+outputs must likewise be freed before re-rendering.
 
-  PYTHONPATH=/root/repo:/root/.axon_site timeout 570 python benchmarks/perf_onecall.py
+  PYTHONPATH=/root/repo:/root/.axon_site timeout 3000 python -u benchmarks/perf_onecall.py
 """
 
 import sys
@@ -29,7 +31,6 @@ UE_SHAPE = (1, 1)
 N_FFT = 512
 SEL_SC = tuple(range(64))
 BANDWIDTH = 10e6
-USER_BLOCK = 16_384
 
 
 def log(msg):
@@ -51,6 +52,12 @@ def make_data(n_ue, max_paths, seed=7):
         "aoa_az": mat(-180, 180), "aoa_el": mat(0, 180),
         "aod_az": mat(-180, 180), "aod_el": mat(0, 180),
     }
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def main():
@@ -77,7 +84,6 @@ def main():
     dev_paths = jax.device_put(paths)
     log("data on device")
 
-    # Relay round-trip floor
     tiny = jnp.ones((8, 128))
     f_tiny = jax.jit(lambda x: jnp.sum(x * 1.000001))
     float(jax.device_get(f_tiny(tiny)))
@@ -92,49 +98,33 @@ def main():
             f"-> {N_UE/dt/1e6:7.2f} M users/s")
         return dt
 
-    # --- A. blocked (round-1 shape) ---
-    render_blk = jax.jit(
-        lambda p, b, u, i: render_channels_planes(
-            p.slice_users(i, USER_BLOCK), b, u, cfg))
-    out0 = render_blk(dev_paths, bs, ue, 0)
-    assert np.isfinite(float(jax.device_get(out0[0, 0, 0, 0, 0])))
-    log("blocked compiled")
+    def one_call(name, render):
+        """Compile, free the warm-up output, then time repeated renders."""
+        out = render(dev_paths, bs, ue)
+        assert np.isfinite(float(jax.device_get(out[0, 0, 0, 0, 0])))
+        shape = out.shape
+        del out      # 4.3 GB: must be freed before the timed re-render
+        log(f"{name} compiled, out shape {shape}")
 
-    def sweep_blocked():
-        outs = [render_blk(dev_paths, bs, ue, i * USER_BLOCK)
-                for i in range(N_UE // USER_BLOCK)]
-        float(jax.device_get(outs[-1][1, -1, 0, -1, -1]))
-    timeit("A blocked 8x16k", sweep_blocked)
+        def sweep():
+            out = render(dev_paths, bs, ue)
+            float(jax.device_get(out[1, -1, 0, -1, -1]))
+        timeit(name, sweep)
 
-    # --- B. one call ---
-    render_one = jax.jit(
-        lambda p, b, u: render_channels_planes(p, b, u, cfg))
-    out1 = render_one(dev_paths, bs, ue)
-    assert np.isfinite(float(jax.device_get(out1[0, 0, 0, 0, 0])))
-    log(f"one-call compiled, out shape {out1.shape}")
+    def guarded(name, fn):
+        try:
+            fn()
+        except Exception as e:
+            log(f"{name} FAILED: {type(e).__name__}: {e}")
 
-    def sweep_one():
-        out = render_one(dev_paths, bs, ue)
-        float(jax.device_get(out[1, -1, 0, -1, -1]))
-    timeit("B one-call fused", sweep_one)
+    guarded("B", lambda: one_call(
+        "B one-call fused",
+        jax.jit(lambda p, b, u: render_channels_planes(p, b, u, cfg))))
 
-    # result agreement A vs B (spot check a tail element)
-    a_el = float(jax.device_get(out0[0, 5, 0, 3, 7]))
-    b_el = float(jax.device_get(out1[0, 5, 0, 3, 7]))
-    log(f"A[0,5,0,3,7]={a_el:.6g}  B={b_el:.6g}")
-
-    # --- C. one call, bf16 matmul ---
     cfg_bf = cfg.replace(matmul_dtype="bfloat16")
-    render_bf = jax.jit(
-        lambda p, b, u: render_channels_planes(p, b, u, cfg_bf))
-    outb = render_bf(dev_paths, bs, ue)
-    float(jax.device_get(outb[0, 0, 0, 0, 0]))
-    log("bf16 compiled")
-
-    def sweep_bf():
-        out = render_bf(dev_paths, bs, ue)
-        float(jax.device_get(out[1, -1, 0, -1, -1]))
-    timeit("C one-call bf16", sweep_bf)
+    guarded("C", lambda: one_call(
+        "C one-call bf16",
+        jax.jit(lambda p, b, u: render_channels_planes(p, b, u, cfg_bf))))
 
     # --- D. prologue only (no path sum): angle rotation + powers ---
     from deepmimo_tpu.ops.channel import (_rotated_angles, _powers_linear,
@@ -147,36 +137,21 @@ def main():
         pw = _powers_linear(cfg, p, valid, aod_t, aod_p, aoa_t, aoa_p)
         return pw.sum()
 
-    float(jax.device_get(prologue(dev_paths, bs, ue)))
-
-    def sweep_pro():
+    def run_d():
         float(jax.device_get(prologue(dev_paths, bs, ue)))
-    timeit("D prologue only", sweep_pro)
+        timeit("D prologue only",
+               lambda: float(jax.device_get(prologue(dev_paths, bs, ue))))
+    guarded("D", run_d)
 
-    # --- E. XLA planes backend one-call (fusion comparison) ---
     cfg_xla = cfg.replace(backend="xla")
-    render_xla = jax.jit(
-        lambda p, b, u: render_channels_planes(p, b, u, cfg_xla))
-    outx = render_xla(dev_paths, bs, ue)
-    float(jax.device_get(outx[0, 0, 0, 0, 0]))
-    log("xla-planes compiled")
+    guarded("E", lambda: one_call(
+        "E one-call XLA planes",
+        jax.jit(lambda p, b, u: render_channels_planes(p, b, u, cfg_xla))))
 
-    def sweep_xla():
-        out = render_xla(dev_paths, bs, ue)
-        float(jax.device_get(out[1, -1, 0, -1, -1]))
-    timeit("E one-call XLA planes", sweep_xla)
-
-    # Roofline context
     out_bytes = 2 * N_UE * 64 * 64 * 4
     log(f"output traffic = {out_bytes/2**30:.2f} GiB; at 819 GB/s -> "
         f"{out_bytes/819e9*1e3:.2f} ms floor "
         f"({N_UE/(out_bytes/819e9)/1e6:.1f} M users/s ceiling)")
-
-
-def _timed(fn):
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

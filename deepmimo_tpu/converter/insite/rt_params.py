@@ -116,11 +116,21 @@ class InsiteRayTracingParameters(RayTracingParameters):
             "synthetic_array": True,
             "gps_bbox": gps_bbox,
             "raw_params": {
-                "antenna": _plain(antenna),
-                "waveform": _plain(waveform),
-                "model": _plain(model),
-                "apg_acceleration": _plain(apg),
-                "diffuse_scattering": _plain(diffuse),
+                "antenna": _raw(antenna),
+                "waveform": _raw(waveform),
+                "studyarea": _raw(studyarea),
+                # Defaults injected when absent from the .setup, so the
+                # raw dump is self-describing (format contract with the
+                # upstream converter's params.json, reference
+                # insite_rt_params.py:156-160).
+                "model": _raw(model) | {
+                    "ray_spacing": ray_spacing,
+                    "terrain_diffractions": terrain_diffr,
+                    "max_transmissions": max_trans,
+                    "max_wedge_diffractions": max_diffr,
+                },
+                "apg_acceleration": _raw(apg),
+                "diffuse_scattering": _raw(diffuse),
             },
         }
         return cls.from_dict(params)
@@ -133,9 +143,17 @@ def _first(top: InsiteNode, kind: str) -> InsiteNode:
     return found[0]
 
 
-def _plain(node: InsiteNode) -> Dict:
-    return {k: v for k, v in node.values.items()
-            if not isinstance(v, InsiteNode)}
+def _raw(node: InsiteNode) -> Dict:
+    """Node values as a JSON-able dict; child nodes recurse (each child
+    appears once, under its kind)."""
+    out: Dict = {}
+    for k, v in node.values.items():
+        if isinstance(v, InsiteNode):
+            if k == v.kind:               # skip the name-keyed duplicate
+                out[k] = _raw(v)
+        else:
+            out[k] = list(v) if isinstance(v, tuple) else v
+    return out
 
 
 def read_rt_params(sim_folder: str | Path) -> Dict:

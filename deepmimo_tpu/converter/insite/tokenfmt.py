@@ -133,3 +133,53 @@ def parse_insite_text(text: str) -> List[InsiteNode]:
 def parse_insite_file(path: str) -> List[InsiteNode]:
     with open(path, "r") as f:
         return parse_insite_text(f.read())
+
+
+# ----------------------------------------------------------------------------
+# Serialization (inverse of the parser): InsiteNode trees -> project text
+# ----------------------------------------------------------------------------
+
+def _fmt_value(v: Any) -> str:
+    if isinstance(v, bool):
+        return "yes" if v else "no"
+    if isinstance(v, float):
+        # Plain positional decimals (no exponent notation): that's how
+        # InSite writes its files, and exponent forms don't type as
+        # numbers in every consumer's tokenizer.
+        import numpy as _np
+        return _np.format_float_positional(v, trim="-")
+    return str(v)
+
+
+def serialize_insite_node(node: InsiteNode, indent: int = 0) -> str:
+    """Serialize one node back to the begin_/end_ block grammar.
+
+    Emission order: labels, scalar values, bare data rows, children —
+    matching how InSite lays out its files. Children stored in ``values``
+    (the parser's dict aliases) are emitted once, from ``children``.
+    """
+    pad = "  " * indent
+    head = f"{pad}begin_<{node.kind}> {node.name}".rstrip()
+    lines = [head]
+    for label in node.labels:
+        lines.append(f"{pad}{label}")
+    for k, v in node.values.items():
+        if isinstance(v, InsiteNode):
+            continue
+        vs = " ".join(_fmt_value(x) for x in v) if isinstance(v, tuple) \
+            else _fmt_value(v)
+        lines.append(f"{pad}{k} {vs}")
+    for row in node.data:
+        lines.append(pad + " ".join(_fmt_value(x) for x in row))
+    for child in node.children:
+        lines.append(serialize_insite_node(child, indent))
+    lines.append(f"{pad}end_<{node.kind}>")
+    return "\n".join(lines)
+
+
+def serialize_insite_text(nodes: List[InsiteNode],
+                          format_line: bool = True) -> str:
+    """Serialize top-level nodes into a complete InSite project file."""
+    parts = ["Format type:keyword version: 1.1.0"] if format_line else []
+    parts += [serialize_insite_node(n) for n in nodes]
+    return "\n".join(parts) + "\n"

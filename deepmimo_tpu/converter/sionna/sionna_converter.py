@@ -133,7 +133,8 @@ def read_materials(load_folder: str, save_folder: str) -> Tuple[Dict, list]:
         ))
     mlist = MaterialList()
     mlist.add_materials(materials)
-    cu.save_mat(np.asarray(indices), "materials", save_folder)
+    cu.save_mat(np.asarray(indices), "materials", save_folder,
+                tx_set_idx=None)  # scene-level, unsuffixed (upstream naming)
     return mlist.to_dict(), indices
 
 

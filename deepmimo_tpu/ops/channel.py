@@ -363,15 +363,13 @@ def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
     ut = pick_user_tile(u, cfg.ue_shape, cfg.bs_shape,
                         cfg.num_paths, n_k, n_s)
     interpret = jax.default_backend() == "cpu"
-    hr, hi = fused_render(z(gry), z(grz), z(gty), z(gtz), amp, psi, omega,
-                          cfg.ue_shape, cfg.bs_shape, n_k,
-                          user_tile=ut, interpret=interpret,
-                          mm_dtype=cfg.matmul_dtype)
+    h = fused_render(z(gry), z(grz), z(gty), z(gtz), amp, psi, omega,
+                     cfg.ue_shape, cfg.bs_shape, n_k,
+                     user_tile=ut, interpret=interpret,
+                     mm_dtype=cfg.matmul_dtype)            # [2, U, Q, S*K]
     r = cfg.ue_shape[0] * cfg.ue_shape[1]
     t = cfg.bs_shape[0] * cfg.bs_shape[1]
-    hr = hr.reshape(u, r, t, n_s, n_k)
-    hi = hi.reshape(u, r, t, n_s, n_k)
-    return [(hr[..., s, :], hi[..., s, :]) for s in range(n_s)]
+    return h.reshape(2, u, r, t, n_s, n_k)
 
 
 def _path_sum_pallas(cfg: ChannelConfig, arx, atx, powers_lin,
@@ -465,13 +463,14 @@ def render_channels_planes(paths: PathData, bs: AntennaPanel,
 
     snapshots = cfg.doppler_times if cfg.enable_doppler else (0.0,)
     if use_fused:
-        pairs = _render_fused_planes(cfg, paths, bs, ue, valid,
-                                     powers_lin, aod_theta, aod_phi,
-                                     aoa_theta, aoa_phi)
-        outs = [jnp.stack(hp) for hp in pairs]
-        if cfg.enable_doppler and len(snapshots) > 1:
-            return jnp.stack(outs, axis=-1)
-        return outs[0]
+        h6 = _render_fused_planes(cfg, paths, bs, ue, valid,
+                                  powers_lin, aod_theta, aod_phi,
+                                  aoa_theta, aoa_phi)   # [2, U, R, T, S, K]
+        two, u, r, t, n_s, n_k = h6.shape
+        if not (cfg.enable_doppler and len(snapshots) > 1):
+            # Free squeeze: the kernel's stacked buffer IS the output.
+            return h6.reshape(2, u, r, t, n_k)
+        return jnp.moveaxis(h6, 4, 5)                   # time axis last
 
     outs = []
     for t_snap in snapshots:

@@ -107,7 +107,7 @@ def _reference_impl(gry, grz, gty, gtz, amp, psi, omega,
 # ----------------------------------------------------------------------------
 
 def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
-            hr_ref, hi_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype):
+            h_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype):
     f32 = jnp.float32
     amp, omega = amp_ref[:], omega_ref[:]
     psi_s = psi_ref[:]                                     # [ut, n_s, p]
@@ -174,8 +174,11 @@ def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
                             preferred_element_type=f32)
     q = r * t
     sk = n_s * n_k
-    hr_ref[:] = m[:, :q, :sk] - m[:, q:, sk:]
-    hi_ref[:] = m[:, :q, sk:] + m[:, q:, :sk]
+    # One stacked output buffer [2, ut, q, sk]: H lands in HBM exactly once
+    # (separate hr/hi outputs forced the caller to jnp.stack them — a full
+    # extra read+write of H, and a second H-sized peak allocation).
+    h_ref[0] = m[:, :q, :sk] - m[:, q:, sk:]
+    h_ref[1] = m[:, :q, sk:] + m[:, q:, :sk]
 
 
 def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
@@ -218,9 +221,8 @@ def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
 def fused_render(gry, grz, gty, gtz, amp, psi, omega,
                  rx_shape: Tuple[int, int], tx_shape: Tuple[int, int],
                  n_k: int, user_tile: int = 16, interpret: bool = False,
-                 mm_dtype: str = "float32"
-                 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused channel render from per-path scalars -> (hr, hi) planes.
+                 mm_dtype: str = "float32") -> jax.Array:
+    """Fused channel render from per-path scalars -> stacked H planes.
 
     Args:
         gry/grz: RX wave-vector phase steps kd*sin(theta)sin(phi),
@@ -239,7 +241,9 @@ def fused_render(gry, grz, gty, gtz, amp, psi, omega,
         interpret: run in interpreter mode (CPU testing).
 
     Returns:
-        (hr, hi): [U, R*T, n_k] float32 planes.
+        h: [2, U, R*T, n_s*n_k] float32 — real/imag planes stacked on the
+        leading axis, written by the kernel in one pass (no host-side
+        stack copy).
     """
     return _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape,
                      tx_shape, n_k, user_tile, interpret, mm_dtype)
@@ -265,20 +269,21 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
                            memory_space=pltpu.VMEM)
     spec_psi = pl.BlockSpec((user_tile, n_s, p), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((user_tile, q, n_s * n_k), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((2, user_tile, q, n_s * n_k),
+                            lambda i: (0, i, 0, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, rx_shape=rx_shape, tx_shape=tx_shape,
                              n_k=n_k, l1=l1, mm_dtype=mm_dtype)
-    hr, hi = pl.pallas_call(
+    h = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[spec_up] * 5 + [spec_psi, spec_up],
-        out_specs=[out_spec] * 2,
-        out_shape=[jax.ShapeDtypeStruct((u_pad, q, n_s * n_k),
-                                        jnp.float32)] * 2,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((2, u_pad, q, n_s * n_k),
+                                       jnp.float32),
         interpret=interpret,
     )(*args)
-    return hr[:u], hi[:u]
+    return h if u_pad == u else h[:, :u]
 
 
 def _fwd(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape, n_k,
@@ -290,7 +295,8 @@ def _fwd(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape, n_k,
 
 def _bwd(rx_shape, tx_shape, n_k, user_tile, interpret, mm_dtype, res, ct):
     _, vjp = jax.vjp(
-        lambda *a: _reference_impl(*a, rx_shape, tx_shape, n_k), *res)
+        lambda *a: jnp.stack(_reference_impl(*a, rx_shape, tx_shape, n_k)),
+        *res)
     return vjp(ct)
 
 

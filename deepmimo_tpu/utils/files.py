@@ -101,12 +101,18 @@ def get_mat_filename(key: str, tx_set_idx: int, tx_idx: int,
     return f"{key}_{get_txrx_str_id(tx_set_idx, tx_idx, rx_set_idx)}.mat"
 
 
-def save_mat(data: np.ndarray, key: str, folder: str, tx_set_idx: int = 0,
-             tx_idx: int = 0, rx_set_idx: int = 1) -> str:
-    """Save one matrix in the scenario .mat format. Returns the file path."""
+def save_mat(data: np.ndarray, key: str, folder: str, tx_set_idx=0,
+             tx_idx=0, rx_set_idx=1) -> str:
+    """Save one matrix in the scenario .mat format. Returns the file path.
+
+    ``tx_set_idx=None`` writes the scene-level unsuffixed form
+    ``{key}.mat`` (format contract: the upstream converter stores
+    scene-wide matrices like the object->material index map that way,
+    reference converter_utils.py:59-70)."""
     os.makedirs(folder, exist_ok=True)
-    path = os.path.join(folder, get_mat_filename(key, tx_set_idx, tx_idx,
-                                                 rx_set_idx))
+    fname = (f"{key}.mat" if tx_set_idx is None else
+             get_mat_filename(key, tx_set_idx, tx_idx, rx_set_idx))
+    path = os.path.join(folder, fname)
     arr = np.asarray(data)
     if arr.dtype == np.float64:
         arr = arr.astype(c.FP_TYPE)

@@ -73,6 +73,24 @@ def _xml_point(x, y, z):
     </ProjectedPoint>"""
 
 
+def _xml_antenna(kind: str) -> str:
+    """Full antenna node (Isotropic + rotations) — required by both our
+    txrx reader and the upstream converter's (insite_txrx.py:110-131)."""
+    return f"""<{kind}><remcom::rxapi::{kind}>
+      <Antenna><remcom::rxapi::Isotropic>
+        <Polarization>
+          <remcom::rxapi::PolarizationEnum Value="Vertical"/>
+        </Polarization>
+        <PowerThreshold><remcom::rxapi::Double Value="-250"/></PowerThreshold>
+      </remcom::rxapi::Isotropic></Antenna>
+      <AntennaRotations><remcom::rxapi::Rotations>
+        <Bearing><remcom::rxapi::Double Value="0"/></Bearing>
+        <Pitch><remcom::rxapi::Double Value="0"/></Pitch>
+        <Roll><remcom::rxapi::Double Value="0"/></Roll>
+      </remcom::rxapi::Rotations></AntennaRotations>
+      </remcom::rxapi::{kind}></{kind}>"""
+
+
 def _project_xml() -> str:
     tx = f"""<TxRxSet><remcom::rxapi::PointSet>
       <ControlPoints><remcom::rxapi::ProjectedPointList>
@@ -80,8 +98,7 @@ def _project_xml() -> str:
       </remcom::rxapi::ProjectedPointList></ControlPoints>
       <OutputID><remcom::rxapi::Integer Value="1"/></OutputID>
       <ShortDescription><remcom::rxapi::String Value="BS"/></ShortDescription>
-      <Transmitter><remcom::rxapi::Transmitter>
-      </remcom::rxapi::Transmitter></Transmitter>
+      {_xml_antenna("Transmitter")}
     </remcom::rxapi::PointSet></TxRxSet>"""
     rx = f"""<TxRxSet><remcom::rxapi::GridSet>
       <ControlPoints><remcom::rxapi::ProjectedPointList>
@@ -93,8 +110,7 @@ def _project_xml() -> str:
       <OutputID><remcom::rxapi::Integer Value="2"/></OutputID>
       <ShortDescription><remcom::rxapi::String Value="users"/>
       </ShortDescription>
-      <Receiver><remcom::rxapi::Receiver>
-      </remcom::rxapi::Receiver></Receiver>
+      {_xml_antenna("Receiver")}
     </remcom::rxapi::GridSet></TxRxSet>"""
     return f"""<!DOCTYPE InSite>
 <InSite version="3.3.0.4">

@@ -228,3 +228,86 @@ def test_v3_roundtrip(dataset, tmp_path):
     # channels computable from the legacy load
     ch = v3.compute_channels(dm.ChannelGenParameters())
     assert np.isfinite(ch).all()
+
+
+# ----------------------------------------------------------------------------
+# 5G NR CDL export (reference DeepMIMO-5GNR MATLAB bridge,
+# construct_DeepMIMO_CDL_channel.m:8-56)
+# ----------------------------------------------------------------------------
+
+def test_nr_cdl_export_fields(dataset):
+    from deepmimo_tpu.integrations import CDLConfig, export_cdl
+    dataset, _ = dataset
+
+    cfg = CDLConfig(velocity_kmh=18.0, travel_dir_deg=(45.0, 90.0))
+    users = export_cdl(dataset, cfg)
+    assert len(users) == dataset.n_ue
+
+    act = [u for u in users if u is not None]
+    assert act, "no active users exported"
+    u0 = act[0]
+
+    n_p = len(u0["PathDelays"])
+    for key in ("AveragePathGains", "AnglesAoD", "AnglesZoD", "AnglesAoA",
+                "AnglesZoA"):
+        assert len(u0[key]) == n_p
+    assert not np.isnan(u0["PathDelays"]).any()
+
+    # Doppler: fd = v/3.6 / c * fc (construct_DeepMIMO_CDL_channel.m:23)
+    fc = u0["CarrierFrequency"]
+    expected_fd = (18.0 / 3.6) / 299792458.0 * fc
+    np.testing.assert_allclose(u0["MaximumDopplerShift"], expected_fd,
+                               rtol=1e-9)
+    assert u0["UTDirectionOfTravel"] == [45.0, 90.0]
+
+    # Zenith angles come from ray elevations; azimuths from ray azimuths
+    pw = np.asarray(dataset["power"])
+    act_idx = [i for i, u in enumerate(users) if u is not None][0]
+    m = ~np.isnan(pw[act_idx])
+    np.testing.assert_allclose(
+        users[act_idx]["AnglesZoA"],
+        np.asarray(dataset["aoa_el"])[act_idx][m], rtol=1e-6)
+
+    # Orientation downtilt sign flip: [bearing; -el; 0]
+    cfg2 = CDLConfig(bs_orientation_deg=(30.0, 10.0))
+    u2 = [u for u in export_cdl(dataset, cfg2) if u is not None][0]
+    assert u2["TransmitArrayOrientation"] == [30.0, -10.0, 0.0]
+
+
+def test_nr_cdl_numerology():
+    from deepmimo_tpu.integrations import CDLConfig
+
+    # NRB=24 @ 30 kHz: 288 sc / 0.85 -> FFT 512 -> 15.36 MHz (nrOFDMInfo)
+    cfg = CDLConfig(nrb=24, scs_khz=30, num_slots=4)
+    assert cfg.sample_rate == 512 * 30e3
+    assert cfg.slots_per_subframe == 2
+    assert cfg.num_time_samples == int(
+        np.ceil(4.1 * cfg.sample_rate / 2 * 1e-3))
+
+    # NRB=52 @ 15 kHz: 624 sc -> FFT 1024 -> 15.36 MHz
+    cfg2 = CDLConfig(nrb=52, scs_khz=15)
+    assert cfg2.sample_rate == 1024 * 15e3
+
+
+def test_nr_cdl_mat_roundtrip_and_cir(dataset, tmp_path):
+    import scipy.io
+    dataset = dataset[0]
+    from deepmimo_tpu.integrations import (CDLConfig, export_cdl,
+                                           save_cdl_mat, synthesize_cdl_cir)
+
+    users = export_cdl(dataset, CDLConfig(velocity_kmh=(5.0, 30.0)))
+    path = save_cdl_mat(users, str(tmp_path / "cdl.mat"))
+    loaded = scipy.io.loadmat(path, squeeze_me=True)["cdl_users"]
+    assert loaded.shape[0] == len(users)
+
+    # numpy consumer: evaluate the exported params into a CIR
+    u0 = [u for u in users if u is not None][0]
+    t = np.linspace(0, 1e-3, 8)
+    cir = synthesize_cdl_cir(u0, t)
+    assert cir.shape == (8, len(u0["PathDelays"]))
+    assert np.isfinite(cir).all()
+    # |a_p| is time-invariant; phase rotates at the per-path Doppler
+    np.testing.assert_allclose(np.abs(cir[0]), np.abs(cir[-1]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.abs(cir[0]), 10 ** (np.asarray(u0["AveragePathGains"]) / 20),
+        rtol=1e-6)
