@@ -34,6 +34,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:
     from jax.experimental import pallas as pl
@@ -106,6 +107,38 @@ def _reference_impl(gry, grz, gty, gtz, amp, psi, omega,
 # Kernel
 # ----------------------------------------------------------------------------
 
+def _phasor_powers(c1, s1, m: int):
+    """(cos(m'x), sin(m'x)) for m'=0..m-1 from ONE base sincos pair.
+
+    Chebyshev-style recurrence z_{m+1} = 2 cos(x) z_m - z_{m-1} (2 vector
+    FMAs per antenna index) replaces per-index sincos evaluations — the
+    kernel bisect measured transcendentals at ~18 of 47 ms on the
+    headline config (benchmarks/perf_kernel_bisect.py).
+    Returns (cos_list, sin_list), each m arrays shaped like c1.
+    """
+    cs = [jnp.ones_like(c1), c1]
+    ss = [jnp.zeros_like(s1), s1]
+    two_c1 = 2.0 * c1
+    for _ in range(2, m):
+        cs.append(two_c1 * cs[-1] - cs[-2])
+        ss.append(two_c1 * ss[-1] - ss[-2])
+    return cs[:m], ss[:m]
+
+
+def _stacked_powers(base, m: int, axis: int):
+    """cos/sin(m'*base) for m'=0..m-1, stacked along ``axis``.
+
+    ``base`` is a phase array; ONE sincos evaluates the base, the rest is
+    the recurrence. Returns ([..., m, ...]c, [..., m, ...]s).
+    """
+    if m == 1:
+        return (jnp.stack([jnp.ones_like(base)], axis=axis),
+                jnp.stack([jnp.zeros_like(base)], axis=axis))
+    c1, s1 = jnp.cos(base), jnp.sin(base)
+    cs, ss = _phasor_powers(c1, s1, m)
+    return jnp.stack(cs, axis=axis), jnp.stack(ss, axis=axis)
+
+
 def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
             h_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype):
     f32 = jnp.float32
@@ -116,12 +149,12 @@ def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
 
     def response(ky, kz, m1, m2):
         """Separable panel response -> (re, im) [ut, m1*m2, p]."""
-        iot = lambda shape, d: jax.lax.broadcasted_iota(
-            jnp.int32, shape, d).astype(f32)
-        phm = iot((ut, m1, p), 1) * ky[:, None, :]
-        phn = iot((ut, m2, p), 1) * kz[:, None, :]
-        cm, sm = jnp.cos(phm), jnp.sin(phm)
-        cn, sn = jnp.cos(phn), jnp.sin(phn)
+        cm, sm = _stacked_powers(ky, m1, axis=1)           # [ut, m1, p]
+        cn, sn = _stacked_powers(kz, m2, axis=1)           # [ut, m2, p]
+        if m1 == 1:
+            return cn, sn
+        if m2 == 1:
+            return cm, sm
         # t = n*m1 + m  ->  [ut, m2, m1, p] then flatten
         re = cn[:, :, None, :] * cm[:, None, :, :] - \
             sn[:, :, None, :] * sm[:, None, :, :]
@@ -129,15 +162,20 @@ def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
             sn[:, :, None, :] * cm[:, None, :, :]
         return (re.reshape(ut, m1 * m2, p), im.reshape(ut, m1 * m2, p))
 
-    arx_r, arx_i = response(gry_ref[:], grz_ref[:], *rx_shape)
-    atx_r, atx_i = response(gty_ref[:], gtz_ref[:], *tx_shape)
-
     r = rx_shape[0] * rx_shape[1]
     t = tx_shape[0] * tx_shape[1]
-    er = (arx_r[:, :, None, :] * atx_r[:, None, :, :] -
-          arx_i[:, :, None, :] * atx_i[:, None, :, :]).reshape(ut, r * t, p)
-    ei = (arx_r[:, :, None, :] * atx_i[:, None, :, :] +
-          arx_i[:, :, None, :] * atx_r[:, None, :, :]).reshape(ut, r * t, p)
+    atx_r, atx_i = response(gty_ref[:], gtz_ref[:], *tx_shape)
+    if r == 1:
+        # Single-antenna RX: its response is exactly 1, E == a_tx.
+        er, ei = atx_r, atx_i
+    else:
+        arx_r, arx_i = response(gry_ref[:], grz_ref[:], *rx_shape)
+        er = (arx_r[:, :, None, :] * atx_r[:, None, :, :] -
+              arx_i[:, :, None, :] * atx_i[:, None, :, :]
+              ).reshape(ut, r * t, p)
+        ei = (arx_r[:, :, None, :] * atx_i[:, None, :, :] +
+              arx_i[:, :, None, :] * atx_r[:, None, :, :]
+              ).reshape(ut, r * t, p)
 
     # OFDM gains via two tables: k = k2*l1 + k1. Laid out [ut, k, p]
     # (k on sublanes, p on lanes) so the table outer-product reshape
@@ -147,12 +185,20 @@ def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
     # the k axis from here on (tables are snapshot-invariant).
     cr = amp[:, None, :] * jnp.cos(psi_s)
     ci = amp[:, None, :] * jnp.sin(psi_s)
-    kiot = lambda n: jax.lax.broadcasted_iota(
-        jnp.int32, (ut, n, p), 1).astype(f32)
-    ph1 = -kiot(l1) * omega[:, None, :]
-    ph2 = -kiot(l2) * (float(l1) * omega)[:, None, :]
-    c1, s1 = jnp.cos(ph1), jnp.sin(ph1)                    # [ut, l1, p]
-    c2, s2 = jnp.cos(ph2), jnp.sin(ph2)                    # [ut, l2, p]
+    # Fine table exp(-j k1 w), k1 < l1, and coarse table exp(-j k2 l1 w):
+    # one sincos for the fine base; the coarse base cos/sin(l1*w) comes
+    # from log2(l1) double-angle steps when l1 is a power of two.
+    c1, s1 = _stacked_powers(-omega, l1, axis=1)           # [ut, l1, p]
+    cb, sb = jnp.cos(-omega), jnp.sin(-omega)
+    steps = int(np.log2(l1)) if (l1 & (l1 - 1)) == 0 else 0
+    if steps:
+        for _ in range(steps):
+            cb, sb = cb * cb - sb * sb, 2.0 * cb * sb      # angle doubling
+    else:
+        cb, sb = jnp.cos(-float(l1) * omega), jnp.sin(-float(l1) * omega)
+    c2s, s2s = _phasor_powers(cb, sb, l2)
+    c2 = jnp.stack(c2s, axis=1)                            # [ut, l2, p]
+    s2 = jnp.stack(s2s, axis=1)                            # [ut, l2, p]
     # fold amp*exp(j psi) into the coarse table -> [ut, s, l2, p]
     t2r = cr[:, :, None, :] * c2[:, None] - ci[:, :, None, :] * s2[:, None]
     t2i = cr[:, :, None, :] * s2[:, None] + ci[:, :, None, :] * c2[:, None]
