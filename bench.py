@@ -7,10 +7,12 @@ isotropic patterns — the "64-ant OFDM" headline config.
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "users/s", "vs_baseline": N}
 
-Timing methodology: on this runtime block_until_ready can return before
-execution completes (relay semantics), so sweeps are synced by reading an
-element of the LAST block's output — stream ordering proves all prior
-blocks finished — and the measured relay round-trip is subtracted once.
+Timing methodology: the whole job (12 chunks x 131,072 distinct users,
+rendered by a lax.fori_loop inside ONE jitted program — per-dispatch
+overhead through the relay is several ms) is synced by reading an element
+of the final H buffer; stream ordering proves all chunks finished. The
+measured relay round-trip is subtracted once. The H buffer is a donated
+loop carry: one 4.3 GB output lives at a time.
 
 The reference baseline (users/s of jmoraispk/DeepMIMO's generator on the same
 data, same machine, CPU) is measured once on a subsample and cached in
@@ -27,7 +29,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "benchmarks", "baseline_reference.json")
 
-N_UE = 131_931          # asu_campus grid 411 x 321
+CHUNK = 131_072         # ~asu_campus grid (411 x 321 = 131,931)
+N_CHUNKS = 12
+N_UE = CHUNK * N_CHUNKS  # total distinct users rendered per sweep
 MAX_PATHS = 25
 BS_SHAPE = (8, 8)       # 64-antenna UPA
 UE_SHAPE = (1, 1)
@@ -62,11 +66,16 @@ def bench_tpu(data):
     from deepmimo_tpu.ops.types import PathData, AntennaPanel, ChannelConfig
     from deepmimo_tpu.ops.channel import render_channels_planes
 
+    # Packed plane layout [U, R, T, 2K]: hr in the first minor half. The
+    # 128-lane-aligned minor dim is ~8x output-DMA bandwidth vs a K=64
+    # minor (benchmarks/perf_layout.py), and chunks render inside one
+    # jitted fori_loop (round 1's eager 8-block loop left the chip >90%
+    # idle on dispatch).
     cfg = ChannelConfig(bs_shape=BS_SHAPE, ue_shape=UE_SHAPE,
                         freq_domain=True, subcarriers=N_FFT,
                         selected_subcarriers=SEL_SC, bandwidth=BANDWIDTH,
                         num_paths=MAX_PATHS, dtype="complex64",
-                        backend="fused")
+                        backend="fused", planes_layout="packed")
     bs = AntennaPanel.make()
     ue = AntennaPanel.make()
 
@@ -74,21 +83,17 @@ def bench_tpu(data):
                                    ("power", "phase", "delay", "aoa_az",
                                     "aoa_el", "aod_az", "aod_el")},
                                 dtype=jnp.float32)
-
-    n_ue = paths.n_ue
-    n_blocks = n_ue // USER_BLOCK
-    n_timed = n_blocks * USER_BLOCK
-
-    # Serving pattern: channels land in HBM as float32 real/imag planes
-    # (skips the complexification pass; consumers view them for free).
-    # User-block slicing happens INSIDE the jitted call: eager slice_users
-    # dispatches 9 small device ops per block, which costs ~5 ms/block
-    # through this runtime's dispatch path.
-    render = jax.jit(
-        lambda p, b, u, i: render_channels_planes(
-            p.slice_users(i, USER_BLOCK), b, u, cfg))
-
     dev_paths = jax.device_put(paths)
+
+    def render_job(p, b, u, h0):
+        def body(i, h):
+            pc = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_slice_in_dim(
+                    x, i * CHUNK, CHUNK, axis=0), p)
+            return render_channels_planes(pc, b, u, cfg)
+        return jax.lax.fori_loop(0, N_CHUNKS, body, h0)
+
+    render = jax.jit(render_job, donate_argnums=(3,))
 
     # Relay round-trip floor (tiny op + scalar readback). On this runtime
     # block_until_ready can return before execution finishes, so the only
@@ -101,22 +106,22 @@ def bench_tpu(data):
                for _ in range(5))
 
     # Warm-up compile + result sanity
-    out0 = render(dev_paths, bs, ue, 0)
-    assert np.isfinite(float(jax.device_get(out0[0, 0, 0, 0, 0])))
+    h = jnp.zeros((CHUNK, 1, 64, 128), jnp.float32)
+    h = render(dev_paths, bs, ue, h)
+    assert np.isfinite(float(jax.device_get(h[0, 0, 0, 0])))
+    assert h.shape == (CHUNK, 1, 64, 128)
 
-    def sweep():
-        outs = [render(dev_paths, bs, ue, i * USER_BLOCK)
-                for i in range(n_blocks)]
-        # Device executions on one stream are ordered: reading an element
-        # of the LAST output proves every block render completed with its
-        # H tile in HBM.
-        float(jax.device_get(outs[-1][1, -1, 0, -1, -1]))
-
-    best = min(_timed(sweep) for _ in range(3))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = render(dev_paths, bs, ue, h)
+        float(jax.device_get(h[-1, 0, -1, -1]))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
     dt = max(best - t_rt, 1e-9)
 
     dev = jax.devices()[0]
-    return n_timed / dt, dt, t_rt, n_timed, str(dev)
+    return N_UE / dt, dt, t_rt, N_UE, str(dev)
 
 
 def _timed(fn):

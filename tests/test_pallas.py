@@ -175,3 +175,76 @@ def test_render_channels_planes_fused_backend():
         assert hx.shape == hf.shape
         scale = np.abs(hx).max()
         np.testing.assert_allclose(hf, hx, atol=5e-5 * scale)
+
+
+def test_fused_render_packed_layout_matches_stacked():
+    """packed=True returns [U, Q, 2SK] with hr||hi on the minor dim and
+    identical numbers (the packing is algebraic — two dots — not a copy)."""
+    from deepmimo_tpu.ops.pallas.render import fused_render
+
+    rng = np.random.RandomState(3)
+    U, P, K = 24, 25, 64
+    mk = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, (U, P)), jnp.float32)
+    args = (mk(-3, 3), mk(-3, 3), mk(-3, 3), mk(-3, 3),
+            mk(0, 1e-4), mk(-3, 3), mk(0, 6))
+    for rx_shape, tx_shape in [((1, 1), (8, 8)), ((2, 2), (4, 2))]:
+        stacked = fused_render(*args, rx_shape, tx_shape, K, 8, True,
+                               "float32", False)
+        packed = fused_render(*args, rx_shape, tx_shape, K, 8, True,
+                              "float32", True)
+        q = stacked.shape[2]
+        assert packed.shape == (U, q, 2 * K)
+        np.testing.assert_allclose(np.asarray(packed[..., :K]),
+                                   np.asarray(stacked[0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(packed[..., K:]),
+                                   np.asarray(stacked[1]), atol=1e-6)
+
+    # gradients flow through the packed VJP too
+    def loss(a):
+        h = fused_render(*a, (1, 1), (4, 4), 64, 8, True, "float32", True)
+        return jnp.sum(h ** 2)
+
+    g = jax.grad(loss)(args)
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
+
+
+def test_render_channels_planes_packed_cfg():
+    """cfg.planes_layout='packed' end-to-end (fused + xla backends agree),
+    with fallback to stacked when S*K is not 64-aligned."""
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle import make_synthetic_paths
+    from deepmimo_tpu.ops.types import (PathData, AntennaPanel,
+                                        ChannelConfig)
+    from deepmimo_tpu.ops.channel import render_channels_planes, \
+        _packed_layout
+
+    data = make_synthetic_paths(n_ue=12, max_paths=6, seed=9)
+    paths = PathData.from_numpy(
+        power=data["power"], phase=data["phase"], delay=data["delay"],
+        aoa_az=data["aoa_az"], aoa_el=data["aoa_el"],
+        aod_az=data["aod_az"], aod_el=data["aod_el"], dtype=jnp.float32)
+    bs = AntennaPanel.make((5.0, 0.0, 20.0))
+    ue = AntennaPanel.make()
+    kw = dict(bs_shape=(4, 2), ue_shape=(1, 1), freq_domain=True,
+              subcarriers=128, selected_subcarriers=tuple(range(64)),
+              num_paths=6)
+
+    stacked = np.asarray(render_channels_planes(
+        paths, bs, ue, ChannelConfig(**kw, backend="fused")))
+    for backend in ("fused", "xla"):
+        cfg = ChannelConfig(**kw, backend=backend, planes_layout="packed")
+        assert _packed_layout(cfg)
+        pk = np.asarray(render_channels_planes(paths, bs, ue, cfg))
+        assert pk.shape == stacked.shape[1:-1] + (2 * stacked.shape[-1],)
+        np.testing.assert_allclose(pk[..., :64], stacked[0], atol=2e-6)
+        np.testing.assert_allclose(pk[..., 64:], stacked[1], atol=2e-6)
+
+    # K=6 is not 64-aligned: packed request falls back to stacked
+    cfg_small = ChannelConfig(bs_shape=(4, 2), ue_shape=(1, 1),
+                              freq_domain=True, subcarriers=128,
+                              selected_subcarriers=tuple(range(6)),
+                              num_paths=6, planes_layout="packed")
+    assert not _packed_layout(cfg_small)
+    out = render_channels_planes(paths, bs, ue, cfg_small)
+    assert out.shape[0] == 2
