@@ -1,0 +1,147 @@
+"""Calibration training-step benchmark on the real TPU.
+
+Compares one SGD step of channel-model calibration (planes path,
+cfg.backend='fused') with the fused Pallas backward kernel
+(ops/pallas/render.py:_bwd_kernel) against the XLA reference-VJP
+fallback (_bwd_xla), on the headline 64-ant OFDM workload.
+
+Run on the real TPU (single process):
+    PYTHONPATH=/root/repo:/root/.axon_site timeout 570 \
+        python benchmarks/run_training_bench.py
+
+Writes benchmarks/training_bench.json and prints a summary.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+from bench import make_data  # noqa: E402  (synthetic NaN-padded paths)
+
+U = 32_768
+MAX_PATHS = 25
+BS_SHAPE = (8, 8)
+UE_SHAPE = (1, 1)
+N_FFT = 512
+SEL_SC = tuple(range(64))
+LR = 1e-3
+OUT = os.path.join(REPO, "benchmarks", "training_bench.json")
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from deepmimo_tpu.ops.types import PathData, AntennaPanel, ChannelConfig
+    from deepmimo_tpu.ops.channel import render_channels_planes
+    from deepmimo_tpu.ops.pallas import render as R
+    from deepmimo_tpu.parallel.sharded import (init_calib_params,
+                                               calib_loss_planes)
+
+    cfg = ChannelConfig(bs_shape=BS_SHAPE, ue_shape=UE_SHAPE,
+                        freq_domain=True, subcarriers=N_FFT,
+                        selected_subcarriers=SEL_SC, bandwidth=10e6,
+                        num_paths=MAX_PATHS, dtype="complex64",
+                        backend="fused", planes_layout="packed")
+    data = make_data(U, MAX_PATHS, seed=11)
+    paths = PathData.from_numpy(
+        **{k: data[k] for k in ("power", "phase", "delay", "aoa_az",
+                                "aoa_el", "aod_az", "aod_el")},
+        dtype=jnp.float32)
+    paths = jax.device_put(paths)
+    bs, ue = AntennaPanel.make(), AntennaPanel.make()
+    params = init_calib_params(paths, bs, ue)
+    # Target from a perturbed panel so the calibration loss is non-trivial.
+    log("compiling target render...")
+    target = render_channels_planes(paths, AntennaPanel.make((0, 0, 10)),
+                                    ue, cfg)
+    target.block_until_ready()
+    log("target rendered")
+
+    # Relay round-trip floor (readback is the only honest sync here).
+    tiny = jnp.ones((8, 128))
+    f_tiny = jax.jit(lambda x: jnp.sum(x * 1.000001))
+    float(jax.device_get(f_tiny(tiny)))
+    t_rt = min(_timed(lambda: float(jax.device_get(f_tiny(tiny))))
+               for _ in range(5))
+
+    def make_step():
+        @jax.jit
+        def step(p, pa, tg):
+            loss, grads = jax.value_and_grad(calib_loss_planes)(p, pa, tg,
+                                                                cfg)
+            new = jax.tree_util.tree_map(
+                lambda x, g: x - LR * g if g is not None else x, p, grads)
+            return new, loss
+        return step
+
+    def time_step(step):
+        _, loss = step(params, paths, target)              # compile + warm
+        l0 = float(jax.device_get(loss))
+        assert np.isfinite(l0) and l0 > 0, l0
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, loss = step(params, paths, target)
+            float(jax.device_get(loss))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return max(best - t_rt, 1e-9), l0
+
+    # Forward-only reference point.
+    log("compiling forward-only loss...")
+    fwd = jax.jit(lambda p, pa, tg: calib_loss_planes(p, pa, tg, cfg))
+    float(jax.device_get(fwd(params, paths, target)))
+    t_fwd = min(_timed(lambda: float(jax.device_get(
+        fwd(params, paths, target)))) for _ in range(3)) - t_rt
+    log(f"forward-only {t_fwd:.4f}s; compiling pallas-bwd step...")
+
+    t_pallas, loss_p = time_step(make_step())
+    log(f"pallas-bwd step {t_pallas:.4f}s; compiling xla-bwd step...")
+
+    # Same step with the backward forced onto the XLA reference VJP.
+    orig = R.pick_user_tile_bwd
+    R.pick_user_tile_bwd = lambda *a, **k: 0
+    jax.clear_caches()
+    try:
+        t_xla, loss_x = time_step(make_step())
+    finally:
+        R.pick_user_tile_bwd = orig
+    log(f"xla-bwd step {t_xla:.4f}s")
+    assert abs(loss_p - loss_x) < 1e-4 * abs(loss_x), (loss_p, loss_x)
+
+    res = {
+        "workload": f"{U} users x {MAX_PATHS} paths, 64-ant BS, "
+                    f"{len(SEL_SC)} of {N_FFT} subcarriers, packed planes",
+        "relay_rt_s": round(t_rt, 4),
+        "forward_only_s": round(t_fwd, 4),
+        "train_step_pallas_bwd_s": round(t_pallas, 4),
+        "train_step_xla_bwd_s": round(t_xla, 4),
+        "pallas_users_per_s": round(U / t_pallas, 1),
+        "xla_users_per_s": round(U / t_xla, 1),
+        "bwd_speedup": round(t_xla / t_pallas, 2),
+        "device": str(jax.devices()[0]),
+    }
+    with open(OUT, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res, indent=2))
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

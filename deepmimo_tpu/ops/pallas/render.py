@@ -22,9 +22,14 @@ phase[t] = m*ky + n*kz (reference deepmimo/generator/geometry.py:105-120).
 Subcarrier values must form an arithmetic progression k0 + s*arange(K);
 the caller folds k0 into psi and s into omega.
 
-Gradients route through a custom VJP whose backward is the XLA reference
-implementation below, so the kernel is differentiable w.r.t. every
-per-path input.
+Gradients route through a custom VJP whose backward is a second Pallas
+kernel (recompute-in-VMEM): er/ei and the unit-amplitude gain planes are
+rebuilt per tile from the saved per-path scalars, the cotangent tile is
+contracted with eight MXU dots (dE and dG), and the chain rules back to
+the 7 scalar inputs run entirely in VMEM. HBM traffic of the backward is
+~one read of the cotangent + the tiny per-path gradients — the XLA
+reference VJP (kept as a fallback for tiles that exceed VMEM) instead
+materializes er/ei/gr/gi and their cotangents in HBM.
 """
 
 from __future__ import annotations
@@ -139,52 +144,67 @@ def _stacked_powers(base, m: int, axis: int):
     return jnp.stack(cs, axis=axis), jnp.stack(ss, axis=axis)
 
 
-def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
-            h_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype, packed):
-    f32 = jnp.float32
-    amp, omega = amp_ref[:], omega_ref[:]
-    psi_s = psi_ref[:]                                     # [ut, n_s, p]
-    ut, p = amp.shape
-    n_s = psi_s.shape[1]
+def _response(ky, kz, m1, m2):
+    """Separable panel response -> (re, im) [ut, m1*m2, p].
 
-    def response(ky, kz, m1, m2):
-        """Separable panel response -> (re, im) [ut, m1*m2, p]."""
-        cm, sm = _stacked_powers(ky, m1, axis=1)           # [ut, m1, p]
-        cn, sn = _stacked_powers(kz, m2, axis=1)           # [ut, m2, p]
-        if m1 == 1:
-            return cn, sn
-        if m2 == 1:
-            return cm, sm
-        # t = n*m1 + m  ->  [ut, m2, m1, p] then flatten
-        re = cn[:, :, None, :] * cm[:, None, :, :] - \
-            sn[:, :, None, :] * sm[:, None, :, :]
-        im = cn[:, :, None, :] * sm[:, None, :, :] + \
-            sn[:, :, None, :] * cm[:, None, :, :]
-        return (re.reshape(ut, m1 * m2, p), im.reshape(ut, m1 * m2, p))
+    t = n*m1 + m with phase[t] = m*ky + n*kz (ops/geometry.py panel
+    layout). Shared by the forward and backward kernels.
+    """
+    ut, p = ky.shape
+    cm, sm = _stacked_powers(ky, m1, axis=1)               # [ut, m1, p]
+    cn, sn = _stacked_powers(kz, m2, axis=1)               # [ut, m2, p]
+    if m1 == 1:
+        return cn, sn
+    if m2 == 1:
+        return cm, sm
+    # t = n*m1 + m  ->  [ut, m2, m1, p] then flatten
+    re = cn[:, :, None, :] * cm[:, None, :, :] - \
+        sn[:, :, None, :] * sm[:, None, :, :]
+    im = cn[:, :, None, :] * sm[:, None, :, :] + \
+        sn[:, :, None, :] * cm[:, None, :, :]
+    return (re.reshape(ut, m1 * m2, p), im.reshape(ut, m1 * m2, p))
 
+
+def _panel_er_ei(gry, grz, gty, gtz, rx_shape, tx_shape):
+    """(er, ei) [ut, r*t, p] via the separable responses (shared fwd/bwd).
+
+    Also returns the per-panel responses for the backward chain:
+    (arx | None, atx) with arx None when the RX panel is a single antenna
+    (E == a_tx exactly; gry/grz gradients are identically zero).
+    """
+    ut, p = gty.shape
     r = rx_shape[0] * rx_shape[1]
     t = tx_shape[0] * tx_shape[1]
-    atx_r, atx_i = response(gty_ref[:], gtz_ref[:], *tx_shape)
+    atx_r, atx_i = _response(gty, gtz, *tx_shape)
     if r == 1:
         # Single-antenna RX: its response is exactly 1, E == a_tx.
-        er, ei = atx_r, atx_i
-    else:
-        arx_r, arx_i = response(gry_ref[:], grz_ref[:], *rx_shape)
-        er = (arx_r[:, :, None, :] * atx_r[:, None, :, :] -
-              arx_i[:, :, None, :] * atx_i[:, None, :, :]
-              ).reshape(ut, r * t, p)
-        ei = (arx_r[:, :, None, :] * atx_i[:, None, :, :] +
-              arx_i[:, :, None, :] * atx_r[:, None, :, :]
-              ).reshape(ut, r * t, p)
+        return atx_r, atx_i, None, (atx_r, atx_i)
+    arx_r, arx_i = _response(gry, grz, *rx_shape)
+    er = (arx_r[:, :, None, :] * atx_r[:, None, :, :] -
+          arx_i[:, :, None, :] * atx_i[:, None, :, :]
+          ).reshape(ut, r * t, p)
+    ei = (arx_r[:, :, None, :] * atx_i[:, None, :, :] +
+          arx_i[:, :, None, :] * atx_r[:, None, :, :]
+          ).reshape(ut, r * t, p)
+    return er, ei, (arx_r, arx_i), (atx_r, atx_i)
 
-    # OFDM gains via two tables: k = k2*l1 + k1. Laid out [ut, k, p]
-    # (k on sublanes, p on lanes) so the table outer-product reshape
-    # collapses non-minor dims — Mosaic rejects minor-dim collapses.
+
+def _ofdm_tables(psi_s, omega, scale, n_k, l1):
+    """(re, im) of scale * exp(j(psi - omega*k)) -> [ut, n_s*n_k, p].
+
+    OFDM gains via two tables: k = k2*l1 + k1. Laid out [ut, k, p]
+    (k on sublanes, p on lanes) so the table outer-product reshape
+    collapses non-minor dims — Mosaic rejects minor-dim collapses.
+    The snapshot axis of psi rides the k axis (tables are
+    snapshot-invariant). ``scale=None`` gives the unit-amplitude planes
+    (backward kernel); the forward folds amp in here.
+    """
+    ut, n_s, p = psi_s.shape
     l2 = n_k // l1
-    # amp*exp(j psi) per snapshot ([ut, s, p]); the snapshot axis rides
-    # the k axis from here on (tables are snapshot-invariant).
-    cr = amp[:, None, :] * jnp.cos(psi_s)
-    ci = amp[:, None, :] * jnp.sin(psi_s)
+    cr, ci = jnp.cos(psi_s), jnp.sin(psi_s)
+    if scale is not None:
+        cr = scale[:, None, :] * cr
+        ci = scale[:, None, :] * ci
     # Fine table exp(-j k1 w), k1 < l1, and coarse table exp(-j k2 l1 w):
     # one sincos for the fine base; the coarse base cos/sin(l1*w) comes
     # from log2(l1) double-angle steps when l1 is a power of two.
@@ -199,7 +219,7 @@ def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
     c2s, s2s = _phasor_powers(cb, sb, l2)
     c2 = jnp.stack(c2s, axis=1)                            # [ut, l2, p]
     s2 = jnp.stack(s2s, axis=1)                            # [ut, l2, p]
-    # fold amp*exp(j psi) into the coarse table -> [ut, s, l2, p]
+    # fold scale*exp(j psi) into the coarse table -> [ut, s, l2, p]
     t2r = cr[:, :, None, :] * c2[:, None] - ci[:, :, None, :] * s2[:, None]
     t2i = cr[:, :, None, :] * s2[:, None] + ci[:, :, None, :] * c2[:, None]
     gr = (t2r[:, :, :, None, :] * c1[:, None, None, :, :] -
@@ -208,6 +228,22 @@ def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
     gi = (t2r[:, :, :, None, :] * s1[:, None, None, :, :] +
           t2i[:, :, :, None, :] * c1[:, None, None, :, :]
           ).reshape(ut, n_s * n_k, p)
+    return gr, gi
+
+
+def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
+            h_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype, packed):
+    f32 = jnp.float32
+    amp, omega = amp_ref[:], omega_ref[:]
+    psi_s = psi_ref[:]                                     # [ut, n_s, p]
+    ut, p = amp.shape
+    n_s = psi_s.shape[1]
+
+    r = rx_shape[0] * rx_shape[1]
+    t = tx_shape[0] * tx_shape[1]
+    er, ei, _, _ = _panel_er_ei(gry_ref[:], grz_ref[:], gty_ref[:],
+                                gtz_ref[:], rx_shape, tx_shape)
+    gr, gi = _ofdm_tables(psi_s, omega, amp, n_k, l1)
 
     q = r * t
     sk = n_s * n_k
@@ -286,6 +322,204 @@ def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
         if vmem_estimate(ut, rx_shape, tx_shape, p, n_k, n_s) <= budget:
             return ut
     return 0
+
+
+# ----------------------------------------------------------------------------
+# Backward kernel (recompute-in-VMEM VJP)
+# ----------------------------------------------------------------------------
+
+def _response_bwd_chain(a_r, a_i, da_r, da_i, m1, m2):
+    """Panel-response cotangent -> (dky, dkz) [ut, p].
+
+    a = exp(j ph), ph[t] = m(t)*ky + n(t)*kz with t = n*m1 + m, so
+    dph = a_r*da_i - a_i*da_r and the (static) index maps m(t), n(t)
+    contract via iota-weighted sums over the [ut, m2, m1, p] view.
+    """
+    ut, _, p = a_r.shape
+    dph = a_r * da_i - a_i * da_r                          # [ut, t, p]
+    v = dph.reshape(ut, m2, m1, p)
+    # Mosaic iota must be integer-typed; cast to f32 after.
+    mi = jax.lax.broadcasted_iota(jnp.int32, v.shape, 2).astype(jnp.float32)
+    ni = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1).astype(jnp.float32)
+    return (v * mi).sum(axis=(1, 2)), (v * ni).sum(axis=(1, 2))
+
+
+def _bwd_kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref,
+                omega_ref, ct_ref,
+                dgry_ref, dgrz_ref, dgty_ref, dgtz_ref, damp_ref, dpsi_ref,
+                domega_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype,
+                packed):
+    """Recompute-in-VMEM backward: cotangent tile -> per-path gradients.
+
+    Forward (per user): H = E g^T with E[q,p] the panel outer product and
+    g[sk,p] = amp * exp(j(psi_s - omega*k)). The backward rebuilds er/ei
+    and the UNIT-amplitude planes CB/SB in VMEM (amp factors out of the
+    sk-contraction), takes
+
+        dE = ct . [CB|SB]^T        (contract sk)
+        dG = ct^T . [er|ei]        (contract q)
+
+    on the MXU, and chains elementwise to the 7 scalar inputs. HBM
+    traffic: one read of ct + P-sized gradient writes.
+    """
+    f32 = jnp.float32
+    amp, omega = amp_ref[:], omega_ref[:]
+    psi_s = psi_ref[:]                                     # [ut, n_s, p]
+    ut, p = amp.shape
+    n_s = psi_s.shape[1]
+    r1, r2 = rx_shape
+    t1, t2 = tx_shape
+    r, t = r1 * r2, t1 * t2
+    q, sk = r * t, n_s * n_k
+
+    er, ei, arx, atx = _panel_er_ei(gry_ref[:], grz_ref[:], gty_ref[:],
+                                    gtz_ref[:], rx_shape, tx_shape)
+    cb_, sb_ = _ofdm_tables(psi_s, omega, None, n_k, l1)   # [ut, sk, p]
+
+    cast = (lambda x: x.astype(jnp.bfloat16)) if mm_dtype == "bfloat16" \
+        else (lambda x: x)
+    prec = {"high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}.get(mm_dtype)
+    dn_sk = (((2,), (1,)), ((0,), (0,)))    # [ut,q,sk] x [ut,sk,p]
+    dn_q = (((1,), (1,)), ((0,), (0,)))     # [ut,q,sk] x [ut,q,p]
+    dot_sk = functools.partial(jax.lax.dot_general, dimension_numbers=dn_sk,
+                               preferred_element_type=f32, precision=prec)
+    dot_q = functools.partial(jax.lax.dot_general, dimension_numbers=dn_q,
+                              preferred_element_type=f32, precision=prec)
+
+    if packed:
+        # ct [ut, q, 2sk], hr in the first minor half. Concats/slices
+        # stay on sublane axes (lane-axis ops would force relayouts).
+        ct = cast(ct_ref[:])
+        g2a = cast(jnp.concatenate((cb_, sb_), axis=1))    # [ut, 2sk, p]
+        g2b = cast(jnp.concatenate((-sb_, cb_), axis=1))
+        der = amp[:, None, :] * dot_sk(ct, g2a)            # [ut, q, p]
+        dei = amp[:, None, :] * dot_sk(ct, g2b)
+        a2 = dot_q(ct, cast(er))                           # [ut, 2sk, p]
+        b2 = dot_q(ct, cast(ei))
+        dgr = a2[:, :sk, :] + b2[:, sk:, :]
+        dgi = a2[:, sk:, :] - b2[:, :sk, :]
+    else:
+        ct_r, ct_i = cast(ct_ref[0]), cast(ct_ref[1])      # [ut, q, sk]
+        cbc, sbc = cast(cb_), cast(sb_)
+        der = amp[:, None, :] * (dot_sk(ct_r, cbc) + dot_sk(ct_i, sbc))
+        dei = amp[:, None, :] * (dot_sk(ct_i, cbc) - dot_sk(ct_r, sbc))
+        erc, eic = cast(er), cast(ei)
+        dgr = dot_q(ct_r, erc) + dot_q(ct_i, eic)          # [ut, sk, p]
+        dgi = dot_q(ct_i, erc) - dot_q(ct_r, eic)
+
+    # --- gain-side chain: g = amp * exp(j base), base = psi_s - omega*k ---
+    damp_ref[:] = (dgr * cb_ + dgi * sb_).sum(axis=1)
+    w = amp[:, None, :] * (cb_ * dgi - sb_ * dgr)          # dL/dbase
+    wv = w.reshape(ut, n_s, n_k, p)
+    dpsi_ref[:] = wv.sum(axis=2)                           # [ut, n_s, p]
+    kk = jax.lax.broadcasted_iota(jnp.int32, wv.shape, 2).astype(f32)
+    domega_ref[:] = -(wv * kk).sum(axis=(1, 2))
+
+    # --- panel-side chain: E = a_rx (x) a_tx (complex outer product) ---
+    atx_r, atx_i = atx
+    if arx is None:
+        # Single-antenna RX: E == a_tx; gry/grz gradients are exactly 0.
+        datx_r, datx_i = der, dei
+        dgry_ref[:] = jnp.zeros((ut, p), f32)
+        dgrz_ref[:] = jnp.zeros((ut, p), f32)
+    else:
+        arx_r, arx_i = arx
+        der_v = der.reshape(ut, r, t, p)
+        dei_v = dei.reshape(ut, r, t, p)
+        ar4_r, ar4_i = arx_r[:, :, None, :], arx_i[:, :, None, :]
+        at4_r, at4_i = atx_r[:, None, :, :], atx_i[:, None, :, :]
+        datx_r = (der_v * ar4_r + dei_v * ar4_i).sum(axis=1)
+        datx_i = (dei_v * ar4_r - der_v * ar4_i).sum(axis=1)
+        darx_r = (der_v * at4_r + dei_v * at4_i).sum(axis=2)
+        darx_i = (dei_v * at4_r - der_v * at4_i).sum(axis=2)
+        dgry_ref[:], dgrz_ref[:] = _response_bwd_chain(
+            arx_r, arx_i, darx_r, darx_i, r1, r2)
+    dgty_ref[:], dgtz_ref[:] = _response_bwd_chain(
+        atx_r, atx_i, datx_r, datx_i, t1, t2)
+
+
+def vmem_estimate_bwd(user_tile: int, rx_shape, tx_shape, p: int,
+                      n_k: int, n_s: int = 1) -> int:
+    """Rough VMEM bytes for one backward tile (f32, (8, 128) padding)."""
+    pad = lambda a, b: _ceil_to(max(a, 1), 8) * _ceil_to(max(b, 1), 128) * 4
+    r = rx_shape[0] * rx_shape[1]
+    t = tx_shape[0] * tx_shape[1]
+    q = r * t
+    sk = n_s * n_k
+    per_u = (
+        2 * (pad(rx_shape[0], p) + pad(rx_shape[1], p)) +
+        2 * (pad(tx_shape[0], p) + pad(tx_shape[1], p)) +
+        2 * (pad(r, p) + pad(t, p)) +      # arx, atx
+        2 * pad(q, p) +                    # er/ei
+        4 * pad(p, n_k) + 2 * n_s * pad(p, n_k) +  # subcarrier tables
+        2 * pad(sk, p) +                   # CB/SB
+        2 * 2 * pad(q, 2 * sk) +           # ct tile (double-buffered)
+        2 * pad(2 * sk, p) +               # g2a/g2b or casts
+        2 * pad(q, p) +                    # der/dei
+        2 * pad(2 * sk, p) + 2 * pad(sk, p) +  # a2/b2 + dgr/dgi
+        3 * pad(sk, p) +                   # w + iota-weighted
+        4 * pad(q, p) + 4 * pad(t, p) + 4 * pad(r, p)  # E-side chain
+    )
+    return user_tile * per_u + 8 * user_tile * 128 * 4
+
+
+def pick_user_tile_bwd(rx_shape, tx_shape, p: int, n_k: int,
+                       n_s: int = 1, budget: int = 64 * 2**20) -> int:
+    """Largest backward tile under the VMEM budget (0 = does not fit)."""
+    for ut in (64, 32, 16, 8):
+        if vmem_estimate_bwd(ut, rx_shape, tx_shape, p, n_k, n_s) <= budget:
+            return ut
+    return 0
+
+
+def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
+              n_k, user_tile, interpret, mm_dtype, packed):
+    u, p = amp.shape
+    n_s = psi.shape[1] // p
+    q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
+    sk = n_s * n_k
+    u_pad = _ceil_to(u, user_tile)
+
+    args = [gry, grz, gty, gtz, amp, psi.reshape(u, n_s, p), omega]
+    if u_pad != u:
+        args = [jnp.pad(x, ((0, u_pad - u),) + ((0, 0),) * (x.ndim - 1))
+                for x in args]
+        pad_u = ((0, u_pad - u), (0, 0), (0, 0))
+        ct = jnp.pad(ct, pad_u if packed else ((0, 0),) + pad_u)
+
+    l1 = _best_l1(n_k)
+    grid = (u_pad // user_tile,)
+    spec_up = pl.BlockSpec((user_tile, p), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    spec_psi = pl.BlockSpec((user_tile, n_s, p), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if packed:
+        spec_ct = pl.BlockSpec((user_tile, q, 2 * sk), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        spec_ct = pl.BlockSpec((2, user_tile, q, sk), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out_shapes = tuple([jax.ShapeDtypeStruct((u_pad, p), f32)] * 5 +
+                       [jax.ShapeDtypeStruct((u_pad, n_s, p), f32),
+                        jax.ShapeDtypeStruct((u_pad, p), f32)])
+    out_specs = tuple([spec_up] * 5 + [spec_psi, spec_up])
+    kern = functools.partial(_bwd_kernel, rx_shape=rx_shape,
+                             tx_shape=tx_shape, n_k=n_k, l1=l1,
+                             mm_dtype=mm_dtype, packed=packed)
+    grads = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec_up] * 5 + [spec_psi, spec_up, spec_ct],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args, ct)
+    dgry, dgrz, dgty, dgtz, damp, dpsi, domega = [
+        g[:u] for g in grads]
+    return (dgry, dgrz, dgty, dgtz, damp, dpsi.reshape(u, n_s * p), domega)
 
 
 # ----------------------------------------------------------------------------
@@ -382,8 +616,8 @@ def _fwd(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape, n_k,
     return out, (gry, grz, gty, gtz, amp, psi, omega)
 
 
-def _bwd(rx_shape, tx_shape, n_k, user_tile, interpret, mm_dtype, packed,
-         res, ct):
+def _bwd_xla(rx_shape, tx_shape, n_k, packed, res, ct):
+    """Fallback VJP through the XLA reference (tiles that exceed VMEM)."""
     if packed:
         sk = ct.shape[-1] // 2
         ct = jnp.stack((ct[..., :sk], ct[..., sk:]))
@@ -391,6 +625,17 @@ def _bwd(rx_shape, tx_shape, n_k, user_tile, interpret, mm_dtype, packed,
         lambda *a: jnp.stack(_reference_impl(*a, rx_shape, tx_shape, n_k)),
         *res)
     return vjp(ct)
+
+
+def _bwd(rx_shape, tx_shape, n_k, user_tile, interpret, mm_dtype, packed,
+         res, ct):
+    amp, psi = res[4], res[5]
+    n_s = psi.shape[1] // amp.shape[1]
+    ut = pick_user_tile_bwd(rx_shape, tx_shape, amp.shape[1], n_k, n_s)
+    if not _PALLAS_OK or ut == 0:
+        return _bwd_xla(rx_shape, tx_shape, n_k, packed, res, ct)
+    return _bwd_impl(*res, ct, rx_shape, tx_shape, n_k, ut, interpret,
+                     mm_dtype, packed)
 
 
 fused_render.defvjp(_fwd, _bwd)

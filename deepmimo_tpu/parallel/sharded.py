@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.types import PathData, AntennaPanel, ChannelConfig
-from ..ops.channel import render_channels
+from ..ops.channel import render_channels, render_channels_planes
 from .mesh import USERS_AXIS, TILE_AXIS, user_sharding, replicated
 
 
@@ -113,6 +113,36 @@ def calib_loss(params: CalibParams, paths: PathData, target: jax.Array,
     num = jnp.mean(jnp.real(err * jnp.conj(err)))
     den = jnp.mean(jnp.real(target * jnp.conj(target))) + 1e-30
     return num / den
+
+
+def calib_loss_planes(params: CalibParams, paths: PathData,
+                      target: jax.Array, cfg: ChannelConfig) -> jax.Array:
+    """Planes-layout calibration loss (normalized MSE on real planes).
+
+    Same objective as :func:`calib_loss` but through
+    :func:`render_channels_planes`, so with ``cfg.backend='fused'`` both
+    the forward AND the backward run as fused Pallas kernels
+    (ops/pallas/render.py `_bwd_kernel`) — the production path for
+    large-scale calibration. ``target`` must be in the same planes layout
+    the cfg selects (stacked or packed).
+    """
+    h = render_channels_planes(_apply_calib(paths, params), params.bs,
+                               params.ue, cfg)
+    err = h - target
+    return jnp.mean(err * err) / (jnp.mean(target * target) + 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "lr"))
+def training_step_planes(params: CalibParams, paths: PathData,
+                         target: jax.Array, cfg: ChannelConfig,
+                         lr: float = 1e-3
+                         ) -> Tuple[CalibParams, jax.Array]:
+    """One SGD calibration step on the planes path (fused fwd + bwd)."""
+    loss, grads = jax.value_and_grad(calib_loss_planes)(params, paths,
+                                                        target, cfg)
+    new_params = jax.tree_util.tree_map(
+        lambda p, g: p - lr * g if g is not None else p, params, grads)
+    return new_params, loss
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "lr"))

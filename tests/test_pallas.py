@@ -208,6 +208,76 @@ def test_fused_render_packed_layout_matches_stacked():
     assert all(np.isfinite(np.asarray(x)).all() for x in g)
 
 
+def test_fused_render_pallas_backward_matches_xla_vjp():
+    """The recompute-in-VMEM backward kernel vs the XLA reference VJP,
+    across panel shapes, snapshot folding, and both output layouts."""
+    from deepmimo_tpu.ops.pallas import render as R
+
+    rng = np.random.RandomState(11)
+    U, P, K = 20, 13, 16
+
+    def run(rx_shape, tx_shape, n_s, packed):
+        mk = lambda lo, hi, *s: jnp.asarray(rng.uniform(lo, hi, s),
+                                            jnp.float32)
+        args = (mk(-3, 3, U, P), mk(-3, 3, U, P),
+                mk(-3, 3, U, P), mk(-3, 3, U, P),
+                mk(0, 1e-3, U, P), mk(-3, 3, U, n_s * P), mk(0, 6, U, P))
+        q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
+        if packed:
+            ct = mk(-1, 1, U, q, 2 * n_s * K)
+        else:
+            ct = mk(-1, 1, 2, U, q, n_s * K)
+        g_pal = R._bwd_impl(*args, ct, rx_shape, tx_shape, K, 8, True,
+                            "float32", packed)
+        g_ref = R._bwd_xla(rx_shape, tx_shape, K, packed, args, ct)
+        assert len(g_pal) == len(g_ref) == 7
+        for a, b in zip(g_pal, g_ref):
+            scale = float(jnp.abs(b).max()) + 1e-12
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4 * scale)
+
+    run((1, 1), (8, 8), 1, False)   # single-ant RX shortcut (zero dgry)
+    run((2, 2), (4, 2), 1, False)   # full RX chain
+    run((1, 2), (2, 4), 2, False)   # folded Doppler snapshots
+    run((1, 1), (4, 4), 1, True)    # packed (hr||hi) cotangent
+    run((2, 1), (2, 2), 2, True)    # packed + snapshots
+
+
+def test_fused_render_grad_uses_pallas_backward(monkeypatch):
+    """fused_render's VJP routes through the backward kernel (not the XLA
+    fallback) when the tile fits, and falls back cleanly when it doesn't."""
+    from deepmimo_tpu.ops.pallas import render as R
+
+    rng = np.random.RandomState(5)
+    U, P, K = 12, 7, 8
+    mk = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, (U, P)), jnp.float32)
+    args = (mk(-3, 3), mk(-3, 3), mk(-3, 3), mk(-3, 3),
+            mk(0, 1e-3), mk(-3, 3), mk(0, 6))
+
+    def loss(a):
+        h = R.fused_render(*a, (2, 1), (2, 2), K, 8, True)
+        return jnp.sum(h ** 2)
+
+    calls = {"pallas": 0, "xla": 0}
+    orig_impl, orig_xla = R._bwd_impl, R._bwd_xla
+    monkeypatch.setattr(R, "_bwd_impl", lambda *a, **k: (
+        calls.__setitem__("pallas", calls["pallas"] + 1),
+        orig_impl(*a, **k))[1])
+    monkeypatch.setattr(R, "_bwd_xla", lambda *a, **k: (
+        calls.__setitem__("xla", calls["xla"] + 1),
+        orig_xla(*a, **k))[1])
+    g = jax.grad(loss)(args)
+    assert calls == {"pallas": 1, "xla": 0}
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
+
+    # An over-VMEM tile falls back to the XLA VJP.
+    monkeypatch.setattr(R, "pick_user_tile_bwd", lambda *a, **k: 0)
+    g2 = jax.grad(loss)(args)
+    assert calls["xla"] == 1
+    for a, b in zip(g, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
 def test_render_channels_planes_packed_cfg():
     """cfg.planes_layout='packed' end-to-end (fused + xla backends agree),
     with fallback to stacked when S*K is not 64-aligned."""

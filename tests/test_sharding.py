@@ -106,6 +106,36 @@ def test_training_step_loss_decreases():
     assert losses[-1] < losses[0]
 
 
+def test_training_step_planes_matches_complex_loss():
+    """The planes-path calibration (fused Pallas fwd+bwd) reproduces the
+    complex-path loss value and decreases it over steps."""
+    import dataclasses
+    from deepmimo_tpu.ops.channel import render_channels_planes
+    from deepmimo_tpu.parallel.sharded import (calib_loss_planes,
+                                               training_step_planes)
+
+    cfg = dataclasses.replace(CFG, backend="fused")
+    paths = _paths(n_ue=16, seed=52)
+    bs, ue = AntennaPanel.make((0, 0, 0)), AntennaPanel.make()
+    params = init_calib_params(paths, bs, ue)
+    target_c = render_channels(paths, AntennaPanel.make((0, 0, 10)), ue, CFG)
+    target_p = render_channels_planes(
+        paths, AntennaPanel.make((0, 0, 10)), ue, cfg)
+
+    loss_c = float(calib_loss(params, paths, target_c, CFG))
+    loss_p = float(calib_loss_planes(params, paths, target_p, cfg))
+    # Identical normalized objective: the 1/2 from the planes axis cancels.
+    np.testing.assert_allclose(loss_p, loss_c, rtol=1e-4)
+
+    losses = []
+    for _ in range(10):
+        params, loss = training_step_planes(params, paths, target_p, cfg,
+                                            lr=3e-3)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+
+
 def test_multihost_loader_single_process(tmp_path):
     """load_paths_sharded shards users over the mesh (1-process path)."""
     import sys
