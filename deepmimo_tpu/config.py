@@ -38,7 +38,13 @@ class DeepMIMOConfig:
         "use_gpu": False,                 # kept for API parity; unused
         "compute_dtype": "complex64",     # channel output dtype
         "render_backend": "fused",        # path-sum backend: fused|pallas|xla
-        "user_block": 2048,               # users per device batch in streaming mode
+        "planes_layout": "packed",        # H plane layout: packed|stacked
+        "matmul_dtype": "float32",        # path-sum matmul input precision
+        "user_block": 16384,              # users per block when streaming to host
+        # compute_channels renders in ONE dispatch when the output tensor
+        # fits this budget (bytes); larger outputs stream over user_block
+        # blocks with readback overlapped against compute.
+        "max_device_output_bytes": 6_000_000_000,
         "mesh_axis_users": "users",       # mesh axis name for user sharding
         "mesh_axis_tile": "tile",         # mesh axis name for subcarrier/antenna tiles
         "validate_parity": False,         # run f64 CPU parity checks when possible

@@ -154,6 +154,8 @@ class ChannelGenParameters(DotDict):
             doppler_times=tuple(float(t) for t in times),
             dtype=dtype,
             backend=_config.get("render_backend", "fused"),
+            planes_layout=_config.get("planes_layout", "packed"),
+            matmul_dtype=_config.get("matmul_dtype", "float32"),
         )
 
         if ue_rotation is None:

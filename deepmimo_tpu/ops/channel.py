@@ -517,6 +517,34 @@ def render_channels_planes(paths: PathData, bs: AntennaPanel,
     return jnp.stack(outs[0])
 
 
+def unpack_planes_np(arr, cfg: ChannelConfig) -> np.ndarray:
+    """Host-side inverse of :func:`render_channels_planes`' plane layouts.
+
+    Takes the (host-gathered) planes array and returns the canonical
+    complex channel tensor: [U, R, T, K] (OFDM), [U, R, T, P] (time
+    domain), with a trailing time axis for multi-snapshot Doppler —
+    matching :func:`render_channels`. Works on numpy to avoid a device
+    round-trip in the host-gather path.
+    """
+    arr = np.asarray(arr)
+    cdt = np.complex64 if arr.dtype == np.float32 else np.complex128
+    if _packed_layout(cfg):
+        n_s = _fused_n_snap(cfg)
+        n_k = len(cfg.selected_subcarriers)
+        sk = n_s * n_k
+        h = np.empty(arr.shape[:-1] + (sk,), dtype=cdt)
+        h.real = arr[..., :sk]
+        h.imag = arr[..., sk:]
+        if n_s > 1:                      # snapshot-major -> time axis last
+            u, r, t = h.shape[:3]
+            h = np.moveaxis(h.reshape(u, r, t, n_s, n_k), 3, 4)
+        return h
+    h = np.empty(arr.shape[1:], dtype=cdt)
+    h.real = arr[0]
+    h.imag = arr[1]
+    return h
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_channels(paths: PathData, bs: AntennaPanel, ue: AntennaPanel,
                     cfg: ChannelConfig) -> jax.Array:

@@ -130,29 +130,33 @@ def _phasor_powers(c1, s1, m: int):
     return cs[:m], ss[:m]
 
 
-def _stacked_powers(base, m: int, axis: int):
-    """cos/sin(m'*base) for m'=0..m-1, stacked along ``axis``.
+def _phasor_stack(c1, s1, m: int, axis: int):
+    """cos/sin(m'*x) for m'=0..m-1 from the BASE PAIR (cos x, sin x),
+    stacked along ``axis``.
 
-    ``base`` is a phase array; ONE sincos evaluates the base, the rest is
-    the recurrence. Returns ([..., m, ...]c, [..., m, ...]s).
+    The base sincos is evaluated OUTSIDE the kernel (XLA prologue, compact
+    [U, P] arrays): inside Mosaic these small arrays pad to (8, 128) tiles
+    and the transcendental polynomial runs on every padded lane — measured
+    ~7 of 17 ms on the headline config (benchmarks/perf_sol.py, the
+    'notrig' ablation). In-kernel work is recurrences only.
     """
     if m == 1:
-        return (jnp.stack([jnp.ones_like(base)], axis=axis),
-                jnp.stack([jnp.zeros_like(base)], axis=axis))
-    c1, s1 = jnp.cos(base), jnp.sin(base)
+        return (jnp.stack([jnp.ones_like(c1)], axis=axis),
+                jnp.stack([jnp.zeros_like(s1)], axis=axis))
     cs, ss = _phasor_powers(c1, s1, m)
     return jnp.stack(cs, axis=axis), jnp.stack(ss, axis=axis)
 
 
-def _response(ky, kz, m1, m2):
+def _response(cky, sky, ckz, skz, m1, m2):
     """Separable panel response -> (re, im) [ut, m1*m2, p].
 
     t = n*m1 + m with phase[t] = m*ky + n*kz (ops/geometry.py panel
-    layout). Shared by the forward and backward kernels.
+    layout); inputs are the base phasors (cos ky, sin ky, cos kz, sin kz).
+    Shared by the forward and backward kernels.
     """
-    ut, p = ky.shape
-    cm, sm = _stacked_powers(ky, m1, axis=1)               # [ut, m1, p]
-    cn, sn = _stacked_powers(kz, m2, axis=1)               # [ut, m2, p]
+    ut, p = cky.shape
+    cm, sm = _phasor_stack(cky, sky, m1, axis=1)           # [ut, m1, p]
+    cn, sn = _phasor_stack(ckz, skz, m2, axis=1)           # [ut, m2, p]
     if m1 == 1:
         return cn, sn
     if m2 == 1:
@@ -165,21 +169,23 @@ def _response(ky, kz, m1, m2):
     return (re.reshape(ut, m1 * m2, p), im.reshape(ut, m1 * m2, p))
 
 
-def _panel_er_ei(gry, grz, gty, gtz, rx_shape, tx_shape):
+def _panel_er_ei(trig_rx, trig_tx, rx_shape, tx_shape):
     """(er, ei) [ut, r*t, p] via the separable responses (shared fwd/bwd).
 
-    Also returns the per-panel responses for the backward chain:
-    (arx | None, atx) with arx None when the RX panel is a single antenna
-    (E == a_tx exactly; gry/grz gradients are identically zero).
+    ``trig_rx``/``trig_tx`` are the base phasor 4-tuples
+    (cos ky, sin ky, cos kz, sin kz). Also returns the per-panel responses
+    for the backward chain: (arx | None, atx) with arx None when the RX
+    panel is a single antenna (E == a_tx exactly; gry/grz gradients are
+    identically zero).
     """
-    ut, p = gty.shape
+    ut, p = trig_tx[0].shape
     r = rx_shape[0] * rx_shape[1]
     t = tx_shape[0] * tx_shape[1]
-    atx_r, atx_i = _response(gty, gtz, *tx_shape)
+    atx_r, atx_i = _response(*trig_tx, *tx_shape)
     if r == 1:
         # Single-antenna RX: its response is exactly 1, E == a_tx.
         return atx_r, atx_i, None, (atx_r, atx_i)
-    arx_r, arx_i = _response(gry, grz, *rx_shape)
+    arx_r, arx_i = _response(*trig_rx, *rx_shape)
     er = (arx_r[:, :, None, :] * atx_r[:, None, :, :] -
           arx_i[:, :, None, :] * atx_i[:, None, :, :]
           ).reshape(ut, r * t, p)
@@ -189,33 +195,33 @@ def _panel_er_ei(gry, grz, gty, gtz, rx_shape, tx_shape):
     return er, ei, (arx_r, arx_i), (atx_r, atx_i)
 
 
-def _ofdm_tables(psi_s, omega, scale, n_k, l1):
+def _ofdm_tables(cpsi, spsi, com, som, scale, n_k, l1):
     """(re, im) of scale * exp(j(psi - omega*k)) -> [ut, n_s*n_k, p].
 
     OFDM gains via two tables: k = k2*l1 + k1. Laid out [ut, k, p]
     (k on sublanes, p on lanes) so the table outer-product reshape
     collapses non-minor dims — Mosaic rejects minor-dim collapses.
-    The snapshot axis of psi rides the k axis (tables are
-    snapshot-invariant). ``scale=None`` gives the unit-amplitude planes
-    (backward kernel); the forward folds amp in here.
+    Inputs are precomputed base phasors: (cos psi, sin psi) [ut, n_s, p]
+    and (cos(-omega), sin(-omega)) [ut, p] — sincos lives in the XLA
+    prologue, not in Mosaic (see _phasor_stack). The snapshot axis of psi
+    rides the k axis (tables are snapshot-invariant). ``scale=None``
+    gives the unit-amplitude planes (backward kernel); the forward folds
+    amp in here.
     """
-    ut, n_s, p = psi_s.shape
+    ut, n_s, p = cpsi.shape
     l2 = n_k // l1
-    cr, ci = jnp.cos(psi_s), jnp.sin(psi_s)
+    cr, ci = cpsi, spsi
     if scale is not None:
         cr = scale[:, None, :] * cr
         ci = scale[:, None, :] * ci
     # Fine table exp(-j k1 w), k1 < l1, and coarse table exp(-j k2 l1 w):
-    # one sincos for the fine base; the coarse base cos/sin(l1*w) comes
-    # from log2(l1) double-angle steps when l1 is a power of two.
-    c1, s1 = _stacked_powers(-omega, l1, axis=1)           # [ut, l1, p]
-    cb, sb = jnp.cos(-omega), jnp.sin(-omega)
-    steps = int(np.log2(l1)) if (l1 & (l1 - 1)) == 0 else 0
-    if steps:
-        for _ in range(steps):
-            cb, sb = cb * cb - sb * sb, 2.0 * cb * sb      # angle doubling
-    else:
-        cb, sb = jnp.cos(-float(l1) * omega), jnp.sin(-float(l1) * omega)
+    # the coarse base cos/sin(l1*w) comes from log2(l1) double-angle steps
+    # (_best_l1 only returns powers of two).
+    c1, s1 = _phasor_stack(com, som, l1, axis=1)           # [ut, l1, p]
+    cb, sb = com, som
+    assert l1 == 1 or (l1 & (l1 - 1)) == 0, "l1 must be a power of two"
+    for _ in range(int(np.log2(l1)) if l1 > 1 else 0):
+        cb, sb = cb * cb - sb * sb, 2.0 * cb * sb          # angle doubling
     c2s, s2s = _phasor_powers(cb, sb, l2)
     c2 = jnp.stack(c2s, axis=1)                            # [ut, l2, p]
     s2 = jnp.stack(s2s, axis=1)                            # [ut, l2, p]
@@ -231,19 +237,23 @@ def _ofdm_tables(psi_s, omega, scale, n_k, l1):
     return gr, gi
 
 
-def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
-            h_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype, packed):
+def _kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
+            cgtz_ref, sgtz_ref, amp_ref, cpsi_ref, spsi_ref, com_ref,
+            som_ref, h_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype,
+            packed):
     f32 = jnp.float32
-    amp, omega = amp_ref[:], omega_ref[:]
-    psi_s = psi_ref[:]                                     # [ut, n_s, p]
+    amp = amp_ref[:]
     ut, p = amp.shape
-    n_s = psi_s.shape[1]
+    n_s = cpsi_ref.shape[1]
 
     r = rx_shape[0] * rx_shape[1]
     t = tx_shape[0] * tx_shape[1]
-    er, ei, _, _ = _panel_er_ei(gry_ref[:], grz_ref[:], gty_ref[:],
-                                gtz_ref[:], rx_shape, tx_shape)
-    gr, gi = _ofdm_tables(psi_s, omega, amp, n_k, l1)
+    er, ei, _, _ = _panel_er_ei(
+        (cgry_ref[:], sgry_ref[:], cgrz_ref[:], sgrz_ref[:]),
+        (cgty_ref[:], sgty_ref[:], cgtz_ref[:], sgtz_ref[:]),
+        rx_shape, tx_shape)
+    gr, gi = _ofdm_tables(cpsi_ref[:], spsi_ref[:], com_ref[:], som_ref[:],
+                          amp, n_k, l1)
 
     q = r * t
     sk = n_s * n_k
@@ -344,8 +354,9 @@ def _response_bwd_chain(a_r, a_i, da_r, da_i, m1, m2):
     return (v * mi).sum(axis=(1, 2)), (v * ni).sum(axis=(1, 2))
 
 
-def _bwd_kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref,
-                omega_ref, ct_ref,
+def _bwd_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
+                cgtz_ref, sgtz_ref, amp_ref, cpsi_ref, spsi_ref, com_ref,
+                som_ref, ct_ref,
                 dgry_ref, dgrz_ref, dgty_ref, dgtz_ref, damp_ref, dpsi_ref,
                 domega_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype,
                 packed):
@@ -354,27 +365,32 @@ def _bwd_kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref,
     Forward (per user): H = E g^T with E[q,p] the panel outer product and
     g[sk,p] = amp * exp(j(psi_s - omega*k)). The backward rebuilds er/ei
     and the UNIT-amplitude planes CB/SB in VMEM (amp factors out of the
-    sk-contraction), takes
+    sk-contraction) from the same precomputed base phasors as the forward,
+    takes
 
         dE = ct . [CB|SB]^T        (contract sk)
         dG = ct^T . [er|ei]        (contract q)
 
-    on the MXU, and chains elementwise to the 7 scalar inputs. HBM
+    on the MXU, and chains elementwise back to PHASE-space gradients for
+    the 7 scalar inputs (dgry..domega are w.r.t. the angles, as before —
+    the trig prologue lives outside the custom-VJP boundary). HBM
     traffic: one read of ct + P-sized gradient writes.
     """
     f32 = jnp.float32
-    amp, omega = amp_ref[:], omega_ref[:]
-    psi_s = psi_ref[:]                                     # [ut, n_s, p]
+    amp = amp_ref[:]
     ut, p = amp.shape
-    n_s = psi_s.shape[1]
+    n_s = cpsi_ref.shape[1]
     r1, r2 = rx_shape
     t1, t2 = tx_shape
     r, t = r1 * r2, t1 * t2
     q, sk = r * t, n_s * n_k
 
-    er, ei, arx, atx = _panel_er_ei(gry_ref[:], grz_ref[:], gty_ref[:],
-                                    gtz_ref[:], rx_shape, tx_shape)
-    cb_, sb_ = _ofdm_tables(psi_s, omega, None, n_k, l1)   # [ut, sk, p]
+    er, ei, arx, atx = _panel_er_ei(
+        (cgry_ref[:], sgry_ref[:], cgrz_ref[:], sgrz_ref[:]),
+        (cgty_ref[:], sgty_ref[:], cgtz_ref[:], sgtz_ref[:]),
+        rx_shape, tx_shape)
+    cb_, sb_ = _ofdm_tables(cpsi_ref[:], spsi_ref[:], com_ref[:],
+                            som_ref[:], None, n_k, l1)     # [ut, sk, p]
 
     cast = (lambda x: x.astype(jnp.bfloat16)) if mm_dtype == "bfloat16" \
         else (lambda x: x)
@@ -455,7 +471,9 @@ def vmem_estimate_bwd(user_tile: int, rx_shape, tx_shape, p: int,
         2 * pad(q, p) +                    # er/ei
         4 * pad(p, n_k) + 2 * n_s * pad(p, n_k) +  # subcarrier tables
         2 * pad(sk, p) +                   # CB/SB
-        2 * 2 * pad(q, 2 * sk) +           # ct tile (double-buffered)
+        2 * pad(q, 2 * sk) +               # ct tile, double-buffered
+                                           # (covers packed [ut,q,2sk] and
+                                           # stacked [2,ut,q,sk] equally)
         2 * pad(2 * sk, p) +               # g2a/g2b or casts
         2 * pad(q, p) +                    # der/dei
         2 * pad(2 * sk, p) + 2 * pad(sk, p) +  # a2/b2 + dgr/dgi
@@ -482,7 +500,7 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
     sk = n_s * n_k
     u_pad = _ceil_to(u, user_tile)
 
-    args = [gry, grz, gty, gtz, amp, psi.reshape(u, n_s, p), omega]
+    args = _trig_args(gry, grz, gty, gtz, amp, psi, omega)
     if u_pad != u:
         args = [jnp.pad(x, ((0, u_pad - u),) + ((0, 0),) * (x.ndim - 1))
                 for x in args]
@@ -512,7 +530,7 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
     grads = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[spec_up] * 5 + [spec_psi, spec_up, spec_ct],
+        in_specs=[spec_up] * 9 + [spec_psi] * 2 + [spec_up] * 2 + [spec_ct],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
@@ -563,6 +581,23 @@ def fused_render(gry, grz, gty, gtz, amp, psi, omega,
                      tx_shape, n_k, user_tile, interpret, mm_dtype, packed)
 
 
+def _trig_args(gry, grz, gty, gtz, amp, psi, omega):
+    """XLA-prologue base phasors for the kernel (see _phasor_stack).
+
+    [gry, grz, gty, gtz] angles -> 8 cos/sin pairs; psi [U, S*P] ->
+    (cos, sin) [U, S, P]; omega -> (cos(-w), sin(-w)). One fused XLA pass
+    over compact [U, P] arrays instead of per-tile padded Mosaic
+    transcendentals.
+    """
+    u, p = amp.shape
+    n_s = psi.shape[1] // p
+    psi_s = psi.reshape(u, n_s, p)
+    return [jnp.cos(gry), jnp.sin(gry), jnp.cos(grz), jnp.sin(grz),
+            jnp.cos(gty), jnp.sin(gty), jnp.cos(gtz), jnp.sin(gtz),
+            amp, jnp.cos(psi_s), jnp.sin(psi_s),
+            jnp.cos(omega), -jnp.sin(omega)]
+
+
 def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
               n_k, user_tile, interpret, mm_dtype="float32", packed=False):
     u, p = amp.shape
@@ -572,7 +607,7 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
 
     # psi ships as a 3D [U, S, P] block: the kernel must not split the
     # minor (lane) dim, so the snapshot axis is materialized here.
-    args = [gry, grz, gty, gtz, amp, psi.reshape(u, n_s, p), omega]
+    args = _trig_args(gry, grz, gty, gtz, amp, psi, omega)
     if u_pad != u:
         args = [jnp.pad(x, ((0, u_pad - u),) + ((0, 0),) * (x.ndim - 1))
                 for x in args]
@@ -599,7 +634,7 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
     h = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[spec_up] * 5 + [spec_psi, spec_up],
+        in_specs=[spec_up] * 9 + [spec_psi] * 2 + [spec_up] * 2,
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,

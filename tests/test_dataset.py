@@ -342,3 +342,87 @@ def test_delay_clipping_warning(capsys):
     params["freq_domain"] = 0
     ds2.compute_channels(params)
     assert "exceed" not in capsys.readouterr().out
+
+
+# ----------------------------------------------------------------------------
+# Product-API render paths (round 3): single-dispatch / streamed / to_device
+# ----------------------------------------------------------------------------
+
+def _headline_params():
+    """A packed-layout-eligible config (K=64 multiple of 64)."""
+    params = dm.ChannelGenParameters()
+    params[c.PARAMSET_ANT_BS][c.PARAMSET_ANT_SHAPE] = np.array([4, 2])
+    params[c.PARAMSET_OFDM][c.PARAMSET_OFDM_SC_SAMP] = np.arange(64)
+    return params
+
+
+def test_to_device_matches_host_path(scenario):
+    import jax
+    from deepmimo_tpu.ops.channel import unpack_planes_np
+
+    folder, _ = scenario
+    ds = dm.load(folder)
+    params = _headline_params()
+    ch_host = ds.compute_channels(params)
+
+    h_dev = ds.compute_channels(params, to_device=True)
+    assert isinstance(h_dev, jax.Array)
+    cfg, _, _ = ds.ch_params.to_config(ds.n_ue)
+    ch_dev = unpack_planes_np(jax.device_get(h_dev), cfg)
+    ch_dev = ch_dev.reshape(ch_host.shape)
+    np.testing.assert_allclose(ch_dev, ch_host, atol=1e-6)
+
+    # Donation round: a second call accepting the previous buffer
+    h2 = ds.compute_channels(params, to_device=True, out=h_dev)
+    ch2 = unpack_planes_np(jax.device_get(h2), cfg).reshape(ch_host.shape)
+    np.testing.assert_allclose(ch2, ch_host, atol=1e-6)
+
+    # Mismatched `out` (different config) is dropped, not an error
+    params2 = dm.ChannelGenParameters()
+    params2[c.PARAMSET_OFDM][c.PARAMSET_OFDM_SC_SAMP] = np.arange(2)
+    ds.compute_channels(params2, to_device=True, out=h2)
+
+
+def test_streamed_blocks_match_single_dispatch(scenario):
+    """Force the streaming path (tiny output budget + small blocks,
+    including a padded tail block) and compare against single-dispatch."""
+    folder, _ = scenario
+    ds = dm.load(folder)
+    params = _headline_params()
+    # per-user random rotations exercise panel slicing in blocks
+    params[c.PARAMSET_ANT_UE][c.PARAMSET_ANT_ROTATION] = np.array(
+        [[0, 30], [0, 30], [0, 30]])
+    ref = ds.compute_channels(params)
+
+    old_block = dm.config.get("user_block")
+    old_budget = dm.config.get("max_device_output_bytes")
+    try:
+        dm.config.set("user_block", 5)             # 32 users -> 7 blocks
+        dm.config.set("max_device_output_bytes", 1)
+        ds2 = dm.load(folder)
+        ch = ds2.compute_channels(params)
+    finally:
+        dm.config.set("user_block", old_block)
+        dm.config.set("max_device_output_bytes", old_budget)
+    np.testing.assert_allclose(ch, ref, atol=1e-6)
+
+
+def test_streamed_time_domain_and_stacked(scenario):
+    """Streaming path with a stacked-layout (time-domain) config."""
+    folder, _ = scenario
+    ds = dm.load(folder)
+    params = dm.ChannelGenParameters()
+    params["freq_domain"] = 0
+    ref = ds.compute_channels(params)
+
+    old_block = dm.config.get("user_block")
+    old_budget = dm.config.get("max_device_output_bytes")
+    try:
+        dm.config.set("user_block", 16)            # exact 2-block split
+        dm.config.set("max_device_output_bytes", 1)
+        ds2 = dm.load(folder)
+        ch = ds2.compute_channels(params)
+    finally:
+        dm.config.set("user_block", old_block)
+        dm.config.set("max_device_output_bytes", old_budget)
+    np.testing.assert_allclose(ch, ref, atol=1e-6)
