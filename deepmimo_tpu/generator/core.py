@@ -63,6 +63,16 @@ def load(scen_name: str, **load_params) -> Dataset | MacroDataset:
 
     params_file = os.path.join(scen_folder, f"{c.PARAMS_FILENAME}.json")
     if not os.path.exists(params_file):
+        # Published legacy-v3 scenarios (params.mat + BS{i}_UE chunks)
+        # load through the same entry point.
+        from ..converter.legacy_v3 import is_v3_scenario, load_v3_scenario
+        if is_v3_scenario(scen_folder):
+            dataset = load_v3_scenario(
+                scen_folder, max_paths=load_params.get("max_paths",
+                                                       c.MAX_PATHS))
+            dataset[c.NAME_PARAM_NAME] = scen_name
+            dataset[c.LOAD_PARAMS_PARAM_NAME] = load_params
+            return dataset
         raise ValueError(f"Parameters file not found in {scen_folder}")
     params = load_dict_from_json(params_file)
 

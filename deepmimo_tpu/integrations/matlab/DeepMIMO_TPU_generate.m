@@ -1,16 +1,20 @@
 function [channels, info] = DeepMIMO_TPU_generate(scenario_folder, params)
-% DEEPMIMO_TPU_GENERATE  MIMO channels from an exported deepmimo_tpu scenario.
+% DEEPMIMO_TPU_GENERATE  MIMO channels from a v3 scenario folder.
 %
 %   [channels, info] = DeepMIMO_TPU_generate(folder, params)
 %
-% Consumes the folder written by deepmimo_tpu.integrations.export_matlab
-% (params.mat, BS{i}_UE_{a}-{b}.mat path chunks, BS{i}_BS.mat, and
-% UE_locations.mat) and synthesizes channels with the same math as the
-% deepmimo_tpu renderer (capability parity with the reference's vendored
-% MATLAB generator, reference deepmimo/integrations/matlab/DeepMIMO-matlab/;
-% fresh implementation validated against tests/oracle.py formulas).
+% Consumes any published DeepMIMO v3 scenario folder (params.mat +
+% BS{i}_UE_{start}-{end}.mat path chunks) directly via read_v3_scenario —
+% no Python step required — including folders written by
+% deepmimo_tpu.integrations.export_matlab. Synthesizes channels with the
+% same math as the deepmimo_tpu renderer (capability parity with the
+% reference's vendored MATLAB generator, reference deepmimo/integrations/
+% matlab/DeepMIMO-matlab/; fresh implementation validated against
+% tests/oracle.py formulas).
 %
-% params: struct from default_params(), fields documented there.
+% params: struct from default_params(), fields documented there. Extra
+% optional field params.polarization in {'', 'VV','VH','HH','HV'} selects
+% a dual-polarization block when the scenario provides them.
 %
 % Returns:
 %   channels: {num_BS x 1} cell; channels{b} is [n_ue x 1] cell of
@@ -20,46 +24,46 @@ function [channels, info] = DeepMIMO_TPU_generate(scenario_folder, params)
 %   info: struct with BS/UE locations and per-user path counts.
 
 if nargin < 2, params = default_params(); end
+polar = '';
+if isfield(params, 'polarization'), polar = params.polarization; end
 
-meta = load(fullfile(scenario_folder, 'params.mat'));
+meta = load_meta(scenario_folder);
 num_bs = double(meta.num_BS);
-tx_power = double(meta.transmit_power);      % dBm re-reference (see exporter)
+tx_power = double(meta.transmit_power);      % dBm re-reference (v3 format)
 fc = double(meta.carrier_freq);
 has_doppler = isfield(meta, 'doppler_available') && meta.doppler_available;
 
-ue_loc = load(fullfile(scenario_folder, 'UE_locations.mat'));
-info.ue_locations = ue_loc.UE_loc;
-info.bs_locations = cell(num_bs, 1);
 channels = cell(num_bs, 1);
+info.bs_locations = cell(num_bs, 1);
 info.num_paths = cell(num_bs, 1);
 
 for b = 1:num_bs
-    bs_file = load(fullfile(scenario_folder, sprintf('BS%d_BS.mat', b)));
-    info.bs_locations{b} = bs_file.BS_loc;
-
-    % Gather the user chunks in ascending start order.
-    files = dir(fullfile(scenario_folder, sprintf('BS%d_UE_*.mat', b)));
-    starts = zeros(numel(files), 1);
-    for f = 1:numel(files)
-        tok = sscanf(files(f).name, sprintf('BS%d_UE_%%d-%%d.mat', b));
-        starts(f) = tok(1);
+    [raydata, ~] = read_v3_scenario(scenario_folder, b, polar);
+    info.bs_locations{b} = raydata.tx_loc;
+    if b == 1 && ~isempty(raydata.rx_locs)
+        info.ue_locations = raydata.rx_locs(:, 1:3);
     end
-    [~, order] = sort(starts);
 
-    user_ch = {};
-    n_paths = [];
-    for f = order(:)'
-        chunk = load(fullfile(scenario_folder, files(f).name));
-        cells = chunk.channels;
-        for u = 1:numel(cells)
-            pm = cells{u};                   % [8 or 10 x n_paths]
-            [h, np_used] = construct_channel(pm, tx_power, fc, ...
-                                             has_doppler, params);
-            user_ch{end+1, 1} = h;           %#ok<AGROW>
-            n_paths(end+1, 1) = np_used;     %#ok<AGROW>
-        end
+    n_ue = numel(raydata.paths);
+    user_ch = cell(n_ue, 1);
+    n_paths = zeros(n_ue, 1);
+    for u = 1:n_ue
+        [h, np_used] = construct_channel(raydata.paths{u}, tx_power, ...
+                                         fc, has_doppler, params);
+        user_ch{u} = h;
+        n_paths(u) = np_used;
     end
     channels{b} = user_ch;
     info.num_paths{b} = n_paths;
 end
+end
+
+function meta = load_meta(scenario_folder)
+pf = fullfile(scenario_folder, 'params.mat');
+if ~exist(pf, 'file')
+    cand = dir(fullfile(scenario_folder, '*params.mat'));
+    assert(~isempty(cand), 'No params.mat in %s', scenario_folder);
+    pf = fullfile(scenario_folder, cand(1).name);
+end
+meta = load(pf);
 end

@@ -59,11 +59,14 @@ def test_matlab_export(dataset, tmp_path):
     assert params["num_BS"].item() == 1
     assert params["carrier_freq"].item() == 3.5e9
 
-    chs = scipy.io.loadmat(os.path.join(out, "BS1_UE_0-16.mat"),
-                           squeeze_me=False)["channels"]
-    assert chs.shape == (16, 1)
+    chunk = scipy.io.loadmat(os.path.join(out, "BS1_UE_0-16.mat"),
+                             squeeze_me=False)
+    chs = chunk["channels"]
+    # canonical published-v3 nesting: 1xN cell of structs with field 'p'
+    # (the chain upstream indexes, reference raytracing_v3.py:139)
+    assert chs.shape == (1, 16)
     u = int(np.argmax(data["n_valid"]))
-    mat = chs[u, 0]
+    mat = chs[0][u][0][0][0]
     nv = data["n_valid"][u]
     assert mat.shape == (8, nv)
     np.testing.assert_allclose(mat[1], np.float64(
@@ -71,6 +74,8 @@ def test_matlab_export(dataset, tmp_path):
     # power in the v3 dBm convention: dBW + tx_power (0 here)
     np.testing.assert_allclose(
         mat[2], np.float64(np.float32(data["power"][u, :nv])), rtol=1e-5)
+    assert chunk["rx_locs"].shape == (16, 5)
+    assert chunk["tx_loc"].size >= 3
     assert os.path.exists(os.path.join(out, "UE_locations.mat"))
     assert os.path.exists(os.path.join(out, "BS1_BS.mat"))
 

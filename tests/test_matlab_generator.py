@@ -17,9 +17,9 @@ import pytest
 M_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "deepmimo_tpu", "integrations", "matlab")
 
-EXPECTED = ["DeepMIMO_TPU_generate.m", "construct_channel.m",
-            "rotate_angles.m", "array_response.m", "fov_mask.m",
-            "antenna_pattern.m", "default_params.m"]
+EXPECTED = ["DeepMIMO_TPU_generate.m", "read_v3_scenario.m",
+            "construct_channel.m", "rotate_angles.m", "array_response.m",
+            "fov_mask.m", "antenna_pattern.m", "default_params.m"]
 
 
 def _read(name):
@@ -62,7 +62,8 @@ def test_matlab_helpers_all_shipped():
         local |= set(fn_def.findall(src))
         for helper in ("construct_channel", "rotate_angles",
                        "array_response", "fov_mask", "antenna_pattern",
-                       "default_params", "squeeze4"):
+                       "default_params", "squeeze4", "read_v3_scenario",
+                       "load_meta"):
             if re.search(rf"\b{helper}\s*\(", src):
                 calls.add(helper)
     assert calls <= (shipped | local), calls - (shipped | local)
@@ -129,7 +130,8 @@ def test_matlab_reads_what_exporter_writes(tmp_path):
     export_matlab(ds, out, tx_power_dbm=30.0)
 
     files = set(os.listdir(out))
-    src_m = _read("DeepMIMO_TPU_generate.m")
+    # file handling lives in the reader; the entry point delegates to it
+    src_m = _read("DeepMIMO_TPU_generate.m") + _read("read_v3_scenario.m")
     assert "params.mat" in files and "params.mat" in src_m
     assert "UE_locations.mat" in files and "UE_locations.mat" in src_m
     assert "BS1_BS.mat" in files and "BS%d_BS.mat" in src_m
@@ -147,8 +149,51 @@ def test_matlab_reads_what_exporter_writes(tmp_path):
     # Round-trip sanity on a chunk: rows x paths, finite, dBm offset.
     chunk = scipy_io.loadmat(os.path.join(out, "BS1_UE_0-12.mat"),
                              squeeze_me=False)
-    pm = chunk["channels"][0, 0]
+    pm = chunk["channels"][0][0][0][0][0]   # cell -> struct -> field 'p'
     assert pm.shape[0] in (8, 10)
     p_dbw = np.asarray(ds.power[0])
     p_dbw = p_dbw[~np.isnan(p_dbw)]
     np.testing.assert_allclose(pm[2, :len(p_dbw)], p_dbw + 30.0, atol=1e-9)
+
+
+def test_read_v3_scenario_contract():
+    """read_v3_scenario.m consumes the published v3 layout standalone:
+    struct cells (channels{u}.p), dual-polar blocks, rx_locs/tx_loc with
+    the same fallbacks as converter/legacy_v3.py."""
+    src = _read("read_v3_scenario.m")
+    # canonical struct-cell access (the upstream MATLAB contract,
+    # reference read_raytracing_v3.m:76-80) + bare-matrix acceptance
+    assert re.search(r"isstruct\(pm\), pm = pm\.p", src)
+    # dual-polar block selection
+    assert "channels_" in src and "dual_polar_available" in src
+    # chunk-file naming + ordering
+    assert "BS%d_UE_%%d-%%d.mat" in src
+    # location fallbacks mirror converter/legacy_v3.py: chunk rx_locs /
+    # tx_loc first, then BS{i}_BS.mat / UE_locations.mat
+    for token in ("rx_locs", "tx_loc", "BS%d_BS.mat", "UE_locations.mat",
+                  "BS_loc"):
+        assert token in src, token
+    # <name>.params.mat naming accepted (published scenarios use it)
+    assert "*params.mat" in src
+
+
+def test_generate_consumes_reader():
+    src = _read("DeepMIMO_TPU_generate.m")
+    assert re.search(r"read_v3_scenario\s*\(", src)
+
+
+def test_reader_row_semantics_match_python_loader():
+    """The .m docstring's row order must match what converter/legacy_v3.py
+    extracts (mat[0]=phase ... mat[9]=dop_acc, 0-based)."""
+    import inspect
+    from deepmimo_tpu.converter import legacy_v3
+
+    src_py = inspect.getsource(legacy_v3)
+    # python loader rows (0-based): phase 0, delay 1, power 2, aoa 3/4,
+    # aod 5/6, LoS 7, doppler 8/9
+    assert re.search(r"PHASE_PARAM_NAME\]\[u, :n_p\] = mat\[0", src_py)
+    assert re.search(r"DELAY_PARAM_NAME\]\[u, :n_p\] = mat\[1", src_py)
+    assert re.search(r"POWER_PARAM_NAME\]\[u, :n_p\] = mat\[2", src_py)
+    src_m = _read("read_v3_scenario.m")
+    # the .m documents the same 1-based order
+    assert re.search(r"phase\(deg\); ToA\(s\); power\(dBm\)", src_m)
