@@ -2,20 +2,22 @@
 
 Measures, in ONE TPU process (results feed benchmarks/SOL.md):
 
-  A. relay round-trip + host-transfer bandwidth (device_get roofline)
+  A. relay round-trip (the only honest sync is a scalar readback)
   B. output-DMA floor: kernel that only writes the packed H tile
-  C. stage bisect of the CURRENT kernel (packed layout + sincos
-     recurrences): full / bf16 dot / notrig / nopanel / notables /
-     nodot / noreassemble
+  C. stage bisect of the CURRENT kernel (trig-hoisted prologue + packed
+     layout): full / bf16 dot / nopanel / notables / nodot /
+     noreassemble, all sharing the real XLA trig prologue
   D. user-tile sweep (ut = 32 / 64 / 128 / 256)
+  P. prologue cost: trig args alone (XLA sincos over [U, P] arrays)
   E. dispatch patterns: fori_loop sweep (bench.py r2) vs 12 separate
-     donated dispatches (the product-API pattern for bench.py r3)
+     donated dispatches (the product-API pattern, bench.py r3)
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site timeout 3000 \
           python -u benchmarks/perf_sol.py
 """
 
 import functools
+import os
 import sys
 import time
 
@@ -23,16 +25,21 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+SMOKE = bool(int(os.environ.get("SMOKE", "0")))   # CPU interpret-mode check
+if SMOKE:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from deepmimo_tpu.ops.pallas.render import (
-    _panel_er_ei, _ofdm_tables, _best_l1, _ceil_to)
+    _panel_er_ei, _ofdm_tables, _trig_args, _best_l1, _ceil_to)
 
-N_UE = 131_072
-N_CHUNKS = 12
+N_UE = 512 if bool(int(os.environ.get("SMOKE", "0"))) else 131_072
+N_CHUNKS = 2 if bool(int(os.environ.get("SMOKE", "0"))) else 12
 P = 25
 RX_SHAPE = (1, 1)
 TX_SHAPE = (8, 8)
@@ -52,40 +59,45 @@ def _timed(fn):
 
 
 # --------------------------------------------------------------------------
-# Ablated kernel variants (local copies of ops/pallas/render.py:_kernel math)
+# Ablated variants of ops/pallas/render.py:_kernel (current signatures:
+# _panel_er_ei(trig_rx_4tuple, trig_tx_4tuple, rx_shape, tx_shape),
+# _ofdm_tables(cpsi, spsi, com, som, scale, n_k, l1); the 13 kernel inputs
+# are the _trig_args prologue outputs).
 # --------------------------------------------------------------------------
 
-def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
-            h_ref, *, variant, l1):
+def _kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
+            cgtz_ref, sgtz_ref, amp_ref, cpsi_ref, spsi_ref, com_ref,
+            som_ref, h_ref, *, variant, l1):
     f32 = jnp.float32
-    amp, omega = amp_ref[:], omega_ref[:]
-    psi_s = psi_ref[:]
+    amp = amp_ref[:]
     ut, p = amp.shape
 
     if variant == "writeonly":
-        h_ref[:] = jnp.broadcast_to(amp[:, :1, None] * 0.5 + 1.0,
-                                    (ut, Q, 2 * SK)).astype(f32)
+        # Pure output-DMA floor: constant fill, inputs unread.
+        h_ref[:] = jnp.full((ut, Q, 2 * SK), 1.2345, f32)
         return
 
-    if variant in ("nopanel", "notrig"):
-        def fake_stacked(base, m, axis):
-            cs = [base * (0.1 * i) + 1.0 for i in range(m)]
-            ss = [base * (0.05 * i) for i in range(m)]
-            return jnp.stack(cs, axis=axis), jnp.stack(ss, axis=axis)
-        er, ei, _, _ = _panel_er_ei_fake(gry_ref[:], grz_ref[:], gty_ref[:],
-                                         gtz_ref[:], fake_stacked)
+    if variant == "nopanel":
+        base = cgty_ref[:]                                  # [ut, p]
+        er = jnp.broadcast_to(base[:, None, :] * 0.5 + 1.0, (ut, Q, p))
+        ei = jnp.broadcast_to(base[:, None, :] * 0.25, (ut, Q, p))
     else:
-        er, ei, _, _ = _panel_er_ei(gry_ref[:], grz_ref[:], gty_ref[:],
-                                    gtz_ref[:], RX_SHAPE, TX_SHAPE)
+        er, ei, _, _ = _panel_er_ei(
+            (cgry_ref[:], sgry_ref[:], cgrz_ref[:], sgrz_ref[:]),
+            (cgty_ref[:], sgty_ref[:], cgtz_ref[:], sgtz_ref[:]),
+            RX_SHAPE, TX_SHAPE)
 
-    if variant in ("notables", "notrig"):
-        gr, gi = _tables_fake(psi_s, omega, amp, N_K, l1)
+    if variant == "notables":
+        b2 = cpsi_ref[:].reshape(ut, 1, 1, p)               # [ut,1,1,p]
+        gr = jnp.broadcast_to(amp[:, None, :] * 0.5 + b2[:, 0], (ut, SK, p))
+        gi = jnp.broadcast_to(amp[:, None, :] * 0.25, (ut, SK, p))
     else:
-        gr, gi = _ofdm_tables(psi_s, omega, amp, N_K, l1)
+        gr, gi = _ofdm_tables(cpsi_ref[:], spsi_ref[:], com_ref[:],
+                              som_ref[:], amp, N_K, l1)
 
     if variant == "nodot":
-        # Consume er/ei and gr/gi (so no trig work is DCE'd) but skip the
-        # MXU dot: cheap row/col reductions + an output-sized broadcast.
+        # Consume er/ei and gr/gi (so nothing is DCE'd) but skip the MXU
+        # dot: cheap row/col reductions + an output-sized broadcast.
         s_e = (er + ei).sum(axis=2, keepdims=True)           # [ut, Q, 1]
         s_g = (gr + gi).sum(axis=1, keepdims=True)           # [ut, 1, P]
         h_ref[:] = jnp.broadcast_to(
@@ -109,45 +121,6 @@ def _kernel(gry_ref, grz_ref, gty_ref, gtz_ref, amp_ref, psi_ref, omega_ref,
     h_ref[:] = m[:, :Q, :] + jnp.where(lane < SK, -rolled, rolled)
 
 
-def _panel_er_ei_fake(gry, grz, gty, gtz, fake_stacked):
-    """Panel outer product with sincos replaced by linear ops."""
-    ut, p = gty.shape
-    m1, m2 = TX_SHAPE
-    cm, sm = fake_stacked(gty, m1, 1)
-    cn, sn = fake_stacked(gtz, m2, 1)
-    re = cn[:, :, None, :] * cm[:, None, :, :] - \
-        sn[:, :, None, :] * sm[:, None, :, :]
-    im = cn[:, :, None, :] * sm[:, None, :, :] + \
-        sn[:, :, None, :] * cm[:, None, :, :]
-    return (re.reshape(ut, m1 * m2, p), im.reshape(ut, m1 * m2, p),
-            None, None)
-
-
-def _tables_fake(psi_s, omega, scale, n_k, l1):
-    """OFDM tables with all sincos replaced by linear ops (same shapes)."""
-    ut, n_s, p = psi_s.shape
-    l2 = n_k // l1
-    cr = psi_s * 0.5 + 1.0
-    ci = psi_s * 0.25
-    if scale is not None:
-        cr = scale[:, None, :] * cr
-        ci = scale[:, None, :] * ci
-    mk = lambda m: (jnp.stack([omega * (0.1 * i) + 1.0 for i in range(m)],
-                              axis=1),
-                    jnp.stack([omega * (0.05 * i) for i in range(m)], axis=1))
-    c1, s1 = mk(l1)
-    c2, s2 = mk(l2)
-    t2r = cr[:, :, None, :] * c2[:, None] - ci[:, :, None, :] * s2[:, None]
-    t2i = cr[:, :, None, :] * s2[:, None] + ci[:, :, None, :] * c2[:, None]
-    gr = (t2r[:, :, :, None, :] * c1[:, None, None, :, :] -
-          t2i[:, :, :, None, :] * s1[:, None, None, :, :]
-          ).reshape(ut, n_s * n_k, p)
-    gi = (t2r[:, :, :, None, :] * s1[:, None, None, :, :] +
-          t2i[:, :, :, None, :] * c1[:, None, None, :, :]
-          ).reshape(ut, n_s * n_k, p)
-    return gr, gi
-
-
 def build(variant, ut):
     grid = (N_UE // ut,)
     spec_up = pl.BlockSpec((ut, P), lambda i: (i, 0),
@@ -159,12 +132,24 @@ def build(variant, ut):
     kern = functools.partial(_kernel, variant=variant, l1=_best_l1(N_K))
 
     def run(gry, grz, gty, gtz, amp, psi, omega):
+        args = _trig_args(gry, grz, gty, gtz, amp,
+                          psi.reshape(N_UE, P), omega)
         return pl.pallas_call(
             kern, grid=grid,
-            in_specs=[spec_up] * 5 + [spec_psi, spec_up],
+            in_specs=[spec_up] * 9 + [spec_psi] * 2 + [spec_up] * 2,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((N_UE, Q, 2 * SK), jnp.float32),
-        )(gry, grz, gty, gtz, amp, psi.reshape(N_UE, 1, P), omega)
+            interpret=SMOKE,
+        )(*args)
+    return jax.jit(run)
+
+
+def build_prologue_only():
+    """The XLA trig prologue alone (reduced to a tiny output)."""
+    def run(gry, grz, gty, gtz, amp, psi, omega):
+        args = _trig_args(gry, grz, gty, gtz, amp,
+                          psi.reshape(N_UE, P), omega)
+        return sum(a.sum() for a in args)
     return jax.jit(run)
 
 
@@ -177,7 +162,7 @@ def main():
             mk(0, 1e-4), mk(-3, 3), mk(0, 6))
     log("data on device")
 
-    # --- A. relay RT + host transfer bandwidth ---
+    # --- A. relay round-trip ---
     tiny = jnp.ones((8, 128))
     f_tiny = jax.jit(lambda x: jnp.sum(x * 1.000001))
     float(jax.device_get(f_tiny(tiny)))
@@ -185,15 +170,13 @@ def main():
                for _ in range(5))
     log(f"A relay rt = {t_rt*1e3:.2f} ms")
 
-    for mb in (64, 256, 1024):
-        n = mb * 2**20 // (128 * 4)
-        big = jax.device_put(jnp.ones((n, 128), jnp.float32))
-        np.asarray(jax.device_get(big))  # warm
-        t = min(_timed(lambda: np.asarray(jax.device_get(big)))
-                for _ in range(3))
-        log(f"A device_get {mb} MiB: {t*1e3:.1f} ms -> "
-            f"{mb/1024/t:.3f} GiB/s")
-        del big
+    # --- P. prologue cost ---
+    fp = build_prologue_only()
+    o = fp(*args)
+    float(jax.device_get(o))
+    best = min(_timed(lambda: float(jax.device_get(fp(*args))))
+               for _ in range(3))
+    log(f"P prologue-only: {max(best - t_rt, 0)*1e3:.2f} ms")
 
     # --- B/C/D. kernel variants ---
     def sweep_fn(fn):
@@ -202,7 +185,7 @@ def main():
     out_gb = N_UE * Q * 2 * SK * 4 / 1e9
     for variant, ut in [("writeonly", 64), ("full", 32), ("full", 64),
                         ("full", 128), ("full", 256), ("bf16", 64),
-                        ("bf16", 128), ("notrig", 64), ("nopanel", 64),
+                        ("bf16", 128), ("nopanel", 64),
                         ("notables", 64), ("nodot", 64),
                         ("noreassemble", 64)]:
         try:

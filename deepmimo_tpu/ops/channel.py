@@ -311,6 +311,19 @@ def _packed_layout(cfg: ChannelConfig) -> bool:
             and sk % 64 == 0)
 
 
+def _angles_needed(cfg: ChannelConfig) -> bool:
+    """Static: does any stage need rotated ANGLES (vs unit vectors)?
+
+    FoV masks and non-isotropic patterns are functions of (theta', phi');
+    the fused kernel itself needs only the rotated wave-vector components,
+    which rotate_unit_vec provides without arccos/atan2/second-sincos.
+    """
+    fov_on = ((cfg.bs_fov is not None and not is_full_fov(cfg.bs_fov)) or
+              (cfg.ue_fov is not None and not is_full_fov(cfg.ue_fov)))
+    return (fov_on or cfg.bs_pattern != "isotropic"
+            or cfg.ue_pattern != "isotropic")
+
+
 def _fused_render_eligible(cfg: ChannelConfig) -> bool:
     from .pallas.render import pick_user_tile
     if not (cfg.freq_domain and not cfg.rx_filter
@@ -322,58 +335,68 @@ def _fused_render_eligible(cfg: ChannelConfig) -> bool:
 
 
 def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
-                         valid, powers_lin, aod_theta, aod_phi, aoa_theta,
-                         aoa_phi):
+                         valid, powers_lin, gry, grz, gty, gtz):
     """Fully-fused OFDM render: per-path scalars -> H planes, one kernel.
 
     HBM traffic collapses to ~the output tensor; array responses, E, g and
     matmul partials stay in VMEM (see ops/pallas/render.py). All Doppler
     snapshots render in the SAME kernel call: per-snapshot phases ride the
     subcarrier axis, so panel responses and subcarrier tables are built
-    once instead of once per snapshot. Returns one (hr, hi) pair
-    [U, R, T, K] per snapshot.
+    once instead of once per snapshot. ``gry/grz/gty/gtz`` are the RX/TX
+    wave-vector phase steps kd*y', kd*z' in the rotated frame (computed by
+    the caller — from rotated angles, or directly via rotate_unit_vec when
+    no stage needs angle space). Returns one (hr, hi) pair [U, R, T, K]
+    per snapshot.
     """
-    from .geometry import array_response_phase
     from .pallas.render import fused_render, pick_user_tile
 
     rd = _rd(cfg)
-    z = lambda x: jnp.where(valid, x, 0.0).astype(rd)
-    _, gry, grz = array_response_phase(aoa_theta, aoa_phi,
-                                       2 * jnp.pi * ue.spacing)
-    _, gty, gtz = array_response_phase(aod_theta, aod_phi,
-                                       2 * jnp.pi * bs.spacing)
+    u, p = paths.delay_s.shape
+
+    # All per-path math runs on FLAT [U*P] views: [U, P] f32 arrays are
+    # (8, 128)-tile padded on TPU (a 5.1x physical-bytes tax at P=25), so
+    # staying packed until the kernel-boundary reshape cuts the prologue
+    # from ~5.4 ms to ~1 ms per 131k-user chunk (benchmarks/SOL.md).
+    fl = lambda x: x.reshape(-1)
+    valid_f = fl(valid)
+    z = lambda x: jnp.where(valid_f, fl(x), 0.0).astype(rd)
 
     n_fft = cfg.subcarriers
-    delay_n = paths.delay_s * cfg.bandwidth
-    pvalid = valid & (delay_n < n_fft)
-    amp = jnp.where(pvalid, jnp.sqrt(powers_lin / n_fft), 0.0).astype(rd)
+    delay_f = fl(paths.delay_s)
+    delay_n = delay_f * cfg.bandwidth
+    pvalid = valid_f & (delay_n < n_fft)
+    amp = jnp.where(pvalid, jnp.sqrt(fl(powers_lin) / n_fft),
+                    0.0).astype(rd)
 
     k0, stride = _k_progression(cfg)
     omega_base = (2 * jnp.pi / n_fft) * delay_n
-    psi0 = jnp.deg2rad(paths.phase_deg) - omega_base * k0
+    psi0 = jnp.deg2rad(fl(paths.phase_deg)) - omega_base * k0
     snapshots = cfg.doppler_times if cfg.enable_doppler else (0.0,)
     n_s = len(snapshots)
     if cfg.enable_doppler and paths.doppler_vel is not None:
+        dop_v, dop_a = fl(paths.doppler_vel), fl(paths.doppler_acc)
         psis = []
         for t_snap in snapshots:
-            t = paths.delay_s + t_snap
+            t = delay_f + t_snap
             psis.append(psi0 - 2 * jnp.pi * cfg.carrier_freq * (
-                paths.doppler_vel * t / c.LIGHTSPEED +
-                paths.doppler_acc * (t * t) / (2 * c.LIGHTSPEED)))
-        psi = jnp.stack(psis, axis=1)                     # [U, S, P]
+                dop_v * t / c.LIGHTSPEED +
+                dop_a * (t * t) / (2 * c.LIGHTSPEED)))
+        # [S, U*P] -> [U, S*P] (one small transpose; Doppler configs only)
+        psi = jnp.stack(psis).reshape(n_s, u, p).transpose(1, 0, 2)
+        psi = psi.reshape(u, n_s * p).astype(rd)
     else:
-        psi = jnp.broadcast_to(psi0[:, None, :],
-                               (psi0.shape[0], n_s, psi0.shape[1]))
-    u, p = amp.shape
-    psi = psi.reshape(u, n_s * p).astype(rd)
-    omega = (omega_base * stride).astype(rd)
+        psi = jnp.broadcast_to(psi0.reshape(u, 1, p),
+                               (u, n_s, p)).reshape(u, n_s * p).astype(rd)
+    omega = (omega_base * stride).astype(rd).reshape(u, p)
 
     n_k = len(cfg.selected_subcarriers)
     ut = pick_user_tile(u, cfg.ue_shape, cfg.bs_shape,
                         cfg.num_paths, n_k, n_s)
     interpret = jax.default_backend() == "cpu"
     packed = _packed_layout(cfg)
-    h = fused_render(z(gry), z(grz), z(gty), z(gtz), amp, psi, omega,
+    sh = lambda x: x.reshape(u, p)
+    h = fused_render(sh(z(gry)), sh(z(grz)), sh(z(gty)), sh(z(gtz)),
+                     sh(amp), psi, omega,
                      cfg.ue_shape, cfg.bs_shape, n_k,
                      user_tile=ut, interpret=interpret,
                      mm_dtype=cfg.matmul_dtype, packed=packed)
@@ -454,22 +477,35 @@ def render_channels_planes(paths: PathData, bs: AntennaPanel,
         h = render_channels(paths, bs, ue, cfg)
         return jnp.stack((jnp.real(h), jnp.imag(h)))
 
-    from .geometry import array_response_planes
+    from .geometry import (array_response_planes, array_response_phase,
+                           rotate_unit_vec)
 
     paths = paths.trim_paths(cfg.num_paths)
-    aod_theta, aod_phi, aoa_theta, aoa_phi = _rotated_angles(paths, bs, ue)
-    valid = _fov_valid(cfg, paths.valid, aod_theta, aod_phi, aoa_theta,
-                       aoa_phi)
-    powers_lin = _powers_linear(cfg, paths, valid, aod_theta, aod_phi,
-                                aoa_theta, aoa_phi)
+    use_fused = (cfg.backend in ("pallas", "fused")
+                 and cfg.freq_domain and _fused_render_eligible(cfg))
+    need_angles = (not use_fused) or _angles_needed(cfg)
+
+    if need_angles:
+        aod_theta, aod_phi, aoa_theta, aoa_phi = _rotated_angles(paths, bs,
+                                                                 ue)
+        valid = _fov_valid(cfg, paths.valid, aod_theta, aod_phi, aoa_theta,
+                           aoa_phi)
+        powers_lin = _powers_linear(cfg, paths, valid, aod_theta, aod_phi,
+                                    aoa_theta, aoa_phi)
+    else:
+        # Isotropic patterns + full-sphere FoV: angle space is never
+        # touched — the fused kernel consumes unit-vector phase steps.
+        # Flat [U*P] compute (packed layout; only the fused path consumes
+        # these, and it flattens all per-path inputs anyway).
+        valid = paths.valid
+        powers_lin = jnp.where(
+            valid.reshape(-1),
+            jnp.power(10.0, paths.power_dbw.reshape(-1) / 10.0), 0.0)
 
     if not cfg.freq_domain and _td_compact_active(cfg):
         (paths, valid, powers_lin, aod_theta, aod_phi, aoa_theta,
          aoa_phi) = _compact_paths(cfg, paths, valid, powers_lin,
                                    aod_theta, aod_phi, aoa_theta, aoa_phi)
-
-    use_fused = (cfg.backend in ("pallas", "fused")
-                 and cfg.freq_domain and _fused_render_eligible(cfg))
 
     if use_fused:
         arx = atx = None  # array responses are built in-VMEM by the kernel
@@ -481,9 +517,29 @@ def render_channels_planes(paths: PathData, bs: AntennaPanel,
 
     snapshots = cfg.doppler_times if cfg.enable_doppler else (0.0,)
     if use_fused:
+        kd_ue = 2 * jnp.pi * ue.spacing
+        kd_bs = 2 * jnp.pi * bs.spacing
+        if need_angles:
+            _, gry, grz = array_response_phase(aoa_theta, aoa_phi, kd_ue)
+            _, gty, gtz = array_response_phase(aod_theta, aod_phi, kd_bs)
+        else:
+            # Global (non-per-user) rotations broadcast against flat
+            # [U*P] angle views — packed layout, no (8, 128) lane-pad tax
+            # (per-user [U, 3] rotations need the [U, P] shape to
+            # broadcast per row).
+            flat_ok = (jnp.asarray(ue.rotation_deg).ndim == 1 and
+                       jnp.asarray(bs.rotation_deg).ndim == 1)
+            v = (lambda x: x.reshape(-1)) if flat_ok else (lambda x: x)
+            _, ry, rz = rotate_unit_vec(ue.rotation_deg,
+                                        v(paths.aoa_el_deg),
+                                        v(paths.aoa_az_deg))
+            _, ty, tz = rotate_unit_vec(bs.rotation_deg,
+                                        v(paths.aod_el_deg),
+                                        v(paths.aod_az_deg))
+            gry, grz = kd_ue * ry, kd_ue * rz
+            gty, gtz = kd_bs * ty, kd_bs * tz
         h6 = _render_fused_planes(cfg, paths, bs, ue, valid,
-                                  powers_lin, aod_theta, aod_phi,
-                                  aoa_theta, aoa_phi)
+                                  powers_lin, gry, grz, gty, gtz)
         if _packed_layout(cfg):
             # Packed layout [U, R, T, 2*S*K] straight from the kernel:
             # hr is the first minor half (see fused_render docstring).

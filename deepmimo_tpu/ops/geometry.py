@@ -81,18 +81,50 @@ def rotate_angles(rotation_deg: jax.Array, el_deg: jax.Array,
     rot_y = rot[:, 1:2]   # rotation about y
     rot_z = rot[:, 2:3]   # rotation about z
 
+    x, y, z = _rotated_unit_components(rot_x, rot_y, rot_z, theta, phi)
+    return safe_arccos(z), safe_angle(x, y)
+
+
+def _rotated_unit_components(rot_x, rot_y, rot_z, theta, phi):
+    """(x', y', z') = unit vector of (theta, phi) in the rotated frame.
+
+    x' = sin(theta')cos(phi'), y' = sin(theta')sin(phi'), z' = cos(theta')
+    — the quantities rotate_angles converts to angles. All radians.
+    """
     sin_az = jnp.sin(phi - rot_z)
     cos_az = jnp.cos(phi - rot_z)
     sin_y, cos_y = jnp.sin(rot_y), jnp.cos(rot_y)
     sin_x, cos_x = jnp.sin(rot_x), jnp.cos(rot_x)
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
 
-    theta_rot = safe_arccos(
-        cos_y * cos_x * cos_t + sin_t * (sin_y * cos_x * cos_az - sin_x * sin_az))
-    phi_rot = safe_angle(
-        cos_y * sin_t * cos_az - sin_y * cos_t,
-        cos_y * sin_x * cos_t + sin_t * (sin_y * sin_x * cos_az + cos_x * sin_az))
-    return theta_rot, phi_rot
+    z = cos_y * cos_x * cos_t + \
+        sin_t * (sin_y * cos_x * cos_az - sin_x * sin_az)
+    x = cos_y * sin_t * cos_az - sin_y * cos_t
+    y = cos_y * sin_x * cos_t + \
+        sin_t * (sin_y * sin_x * cos_az + cos_x * sin_az)
+    return x, y, z
+
+
+def rotate_unit_vec(rotation_deg: jax.Array, el_deg: jax.Array,
+                    az_deg: jax.Array
+                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Rotated-frame unit-vector components (x', y', z') — the trig-domain
+    composition of :func:`rotate_angles` + :func:`array_response_phase`.
+
+    The fused render kernel needs only kd*y' and kd*z' (panel elements lie
+    in the y-z plane), so going through angle space (arccos + atan2 here,
+    then sincos again in array_response_phase) is pure overhead: ~6 ms of
+    the 18.4 ms headline chunk (benchmarks/SOL.md, prologue accounting).
+    Identical values up to roundoff — sin(theta')sin(phi') == y' for a
+    unit vector — and smooth everywhere (no arccos edge).
+    """
+    theta = jnp.deg2rad(el_deg)
+    phi = jnp.deg2rad(az_deg)
+    rot = jnp.deg2rad(jnp.asarray(rotation_deg))
+    if rot.ndim == 1:
+        rot = rot[None, :]
+    return _rotated_unit_components(rot[:, 0:1], rot[:, 1:2], rot[:, 2:3],
+                                    theta, phi)
 
 
 # ============================================================================

@@ -297,6 +297,16 @@ def _kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
     h_ref[1] = m[:, :q, sk:] + m[:, q:, :sk]
 
 
+def _kernel_norx(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, amp_ref, cpsi_ref,
+                 spsi_ref, com_ref, som_ref, h_ref, **kw):
+    """Forward kernel without the 4 RX phasor refs (single-antenna RX:
+    _panel_er_ei's r==1 branch never reads them — the TX refs stand in as
+    placeholders and Mosaic CSEs the duplicate loads)."""
+    _kernel(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, cgty_ref, sgty_ref,
+            cgtz_ref, sgtz_ref, amp_ref, cpsi_ref, spsi_ref, com_ref,
+            som_ref, h_ref, **kw)
+
+
 def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
                   n_k: int, n_s: int = 1) -> int:
     """Rough VMEM bytes for one tile (padded to (8, 128) f32 tiles)."""
@@ -320,15 +330,18 @@ def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
 
 
 def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
-                   n_s: int = 1, budget: int = 64 * 2**20) -> int:
+                   n_s: int = 1, budget: int = 80 * 2**20) -> int:
     """Largest tile under the VMEM budget (0 = does not fit; u is padded
     up to a tile multiple by the caller, so no divisibility constraint).
 
-    Budget: v5e has 128 MiB of VMEM; 64 MiB leaves Mosaic headroom for
-    double buffering. The round-1 10 MiB budget picked ut=16 and left
-    per-step fixed costs dominant once the output DMA was fixed.
+    Budget: v5e has 128 MiB of VMEM; 80 MiB leaves Mosaic headroom for
+    double buffering (the estimate is conservative — ut=128 on the
+    headline config estimates 75.5 MiB and compiles + runs ~6% faster
+    than ut=64, benchmarks/SOL.md). The round-1 10 MiB budget picked
+    ut=16 and left per-step fixed costs dominant once the output DMA was
+    fixed.
     """
-    for ut in (64, 32, 16, 8):
+    for ut in (128, 64, 32, 16, 8):
         if vmem_estimate(ut, rx_shape, tx_shape, p, n_k, n_s) <= budget:
             return ut
     return 0
@@ -456,6 +469,15 @@ def _bwd_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
         atx_r, atx_i, datx_r, datx_i, t1, t2)
 
 
+def _bwd_kernel_norx(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, amp_ref,
+                     cpsi_ref, spsi_ref, com_ref, som_ref, ct_ref,
+                     *out_refs, **kw):
+    """Backward kernel without the 4 RX phasor refs (see _kernel_norx)."""
+    _bwd_kernel(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, cgty_ref, sgty_ref,
+                cgtz_ref, sgtz_ref, amp_ref, cpsi_ref, spsi_ref, com_ref,
+                som_ref, ct_ref, *out_refs, **kw)
+
+
 def vmem_estimate_bwd(user_tile: int, rx_shape, tx_shape, p: int,
                       n_k: int, n_s: int = 1) -> int:
     """Rough VMEM bytes for one backward tile (f32, (8, 128) padding)."""
@@ -500,7 +522,8 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
     sk = n_s * n_k
     u_pad = _ceil_to(u, user_tile)
 
-    args = _trig_args(gry, grz, gty, gtz, amp, psi, omega)
+    skip_rx = rx_shape[0] * rx_shape[1] == 1
+    args = _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx=skip_rx)
     if u_pad != u:
         args = [jnp.pad(x, ((0, u_pad - u),) + ((0, 0),) * (x.ndim - 1))
                 for x in args]
@@ -524,13 +547,15 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
                        [jax.ShapeDtypeStruct((u_pad, n_s, p), f32),
                         jax.ShapeDtypeStruct((u_pad, p), f32)])
     out_specs = tuple([spec_up] * 5 + [spec_psi, spec_up])
-    kern = functools.partial(_bwd_kernel, rx_shape=rx_shape,
-                             tx_shape=tx_shape, n_k=n_k, l1=l1,
-                             mm_dtype=mm_dtype, packed=packed)
+    kern = functools.partial(_bwd_kernel_norx if skip_rx else _bwd_kernel,
+                             rx_shape=rx_shape, tx_shape=tx_shape, n_k=n_k,
+                             l1=l1, mm_dtype=mm_dtype, packed=packed)
+    n_up = 5 if skip_rx else 9
     grads = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[spec_up] * 9 + [spec_psi] * 2 + [spec_up] * 2 + [spec_ct],
+        in_specs=[spec_up] * n_up + [spec_psi] * 2 + [spec_up] * 2 +
+                 [spec_ct],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
@@ -581,21 +606,39 @@ def fused_render(gry, grz, gty, gtz, amp, psi, omega,
                      tx_shape, n_k, user_tile, interpret, mm_dtype, packed)
 
 
-def _trig_args(gry, grz, gty, gtz, amp, psi, omega):
+def _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx: bool = False):
     """XLA-prologue base phasors for the kernel (see _phasor_stack).
 
     [gry, grz, gty, gtz] angles -> 8 cos/sin pairs; psi [U, S*P] ->
-    (cos, sin) [U, S, P]; omega -> (cos(-w), sin(-w)). One fused XLA pass
-    over compact [U, P] arrays instead of per-tile padded Mosaic
-    transcendentals.
+    (cos, sin) [U, S, P]; omega -> (cos(-w), sin(-w)); sincos in the XLA
+    prologue instead of per-tile padded Mosaic transcendentals.
+
+    Layout: the math runs on FLAT [U*P] views — a [U, P] f32 array is
+    (8, 128)-tile padded on TPU, so with P = 25 every elementwise pass
+    pays a 5.1x physical-bytes tax; flat arrays stay packed and only the
+    final reshape (fused with the trig op) writes the padded layout the
+    kernel BlockSpecs read (benchmarks/SOL.md, prologue accounting).
+
+    ``skip_rx`` (static): with a single-antenna RX panel the kernels never
+    touch the RX phasors (E == a_tx, _panel_er_ei r==1 branch), so the 4
+    arrays are neither computed nor shipped — ~0.27 GB less kernel input
+    DMA per 131k-user chunk.
     """
     u, p = amp.shape
     n_s = psi.shape[1] // p
-    psi_s = psi.reshape(u, n_s, p)
-    return [jnp.cos(gry), jnp.sin(gry), jnp.cos(grz), jnp.sin(grz),
-            jnp.cos(gty), jnp.sin(gty), jnp.cos(gtz), jnp.sin(gtz),
-            amp, jnp.cos(psi_s), jnp.sin(psi_s),
-            jnp.cos(omega), -jnp.sin(omega)]
+
+    def cs(x, shape, neg_sin=False):
+        xf = x.reshape(-1)
+        s = jnp.sin(xf)
+        return (jnp.cos(xf).reshape(shape),
+                (-s if neg_sin else s).reshape(shape))
+
+    out = []
+    if not skip_rx:
+        out += [*cs(gry, (u, p)), *cs(grz, (u, p))]
+    out += [*cs(gty, (u, p)), *cs(gtz, (u, p)), amp,
+            *cs(psi, (u, n_s, p)), *cs(omega, (u, p), neg_sin=True)]
+    return out
 
 
 def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
@@ -607,7 +650,8 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
 
     # psi ships as a 3D [U, S, P] block: the kernel must not split the
     # minor (lane) dim, so the snapshot axis is materialized here.
-    args = _trig_args(gry, grz, gty, gtz, amp, psi, omega)
+    skip_rx = rx_shape[0] * rx_shape[1] == 1
+    args = _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx=skip_rx)
     if u_pad != u:
         args = [jnp.pad(x, ((0, u_pad - u),) + ((0, 0),) * (x.ndim - 1))
                 for x in args]
@@ -628,13 +672,15 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
                                 lambda i: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((2, u_pad, q, sk), jnp.float32)
-    kern = functools.partial(_kernel, rx_shape=rx_shape, tx_shape=tx_shape,
+    kern = functools.partial(_kernel_norx if skip_rx else _kernel,
+                             rx_shape=rx_shape, tx_shape=tx_shape,
                              n_k=n_k, l1=l1, mm_dtype=mm_dtype,
                              packed=packed)
+    n_up = 5 if skip_rx else 9
     h = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[spec_up] * 9 + [spec_psi] * 2 + [spec_up] * 2,
+        in_specs=[spec_up] * n_up + [spec_psi] * 2 + [spec_up] * 2,
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
