@@ -45,6 +45,7 @@ def main():
     from deepmimo_tpu.ops.types import PathData, AntennaPanel, ChannelConfig
     from deepmimo_tpu.ops.channel import render_channels_planes
     from deepmimo_tpu.ops.pallas import render as R
+    from deepmimo_tpu.parallel import training_step_planes
     from deepmimo_tpu.parallel.sharded import (init_calib_params,
                                                calib_loss_planes)
 
@@ -76,13 +77,11 @@ def main():
                for _ in range(5))
 
     def make_step():
-        @jax.jit
+        # The SHIPPED entry point (parallel.training_step_planes, already
+        # jitted with static cfg/lr) so the bench cannot drift from the
+        # production code path (ADVICE r2).
         def step(p, pa, tg):
-            loss, grads = jax.value_and_grad(calib_loss_planes)(p, pa, tg,
-                                                                cfg)
-            new = jax.tree_util.tree_map(
-                lambda x, g: x - LR * g if g is not None else x, p, grads)
-            return new, loss
+            return training_step_planes(p, pa, tg, cfg, LR)
         return step
 
     def time_step(step):

@@ -45,6 +45,11 @@ class DeepMIMOConfig:
         # fits this budget (bytes); larger outputs stream over user_block
         # blocks with readback overlapped against compute.
         "max_device_output_bytes": 6_000_000_000,
+        # Host-memory cap for the [n_ue, M_rx, M_tx, n_paths] array
+        # response product presentation attribute (it is inherently
+        # O(users x antennas^2 x paths); above this it raises with
+        # guidance instead of OOMing the host).
+        "max_array_product_bytes": 4 << 30,
         "mesh_axis_users": "users",       # mesh axis name for user sharding
         "mesh_axis_tile": "tile",         # mesh axis name for subcarrier/antenna tiles
         "validate_parity": False,         # run f64 CPU parity checks when possible

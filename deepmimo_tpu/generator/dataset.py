@@ -308,12 +308,22 @@ class Dataset(DotDict):
 
     def _compute_array_response_product(self) -> np.ndarray:
         """[n_ue, M_rx, M_tx, n_paths] complex RX x TX array-response
-        product at the FoV-filtered rotated angles (invalid paths -> 0)."""
-        from ..ops.geometry import array_response
+        product at the FoV-filtered rotated angles (invalid paths -> 0).
+
+        A presentation attribute that is inherently O(users x R x T x P)
+        on the host (the channel path never materializes it — reference
+        dataset.py:398-417 does, the exact anti-pattern SURVEY §7 flags):
+        sized against config 'max_array_product_bytes' with guidance, and
+        built in user blocks with pure numpy so peak intermediate memory
+        stays bounded (and no complex device transfer is needed — the
+        axon runtime cannot device_get complex arrays)."""
+        from ..ops.geometry import ant_indices
 
         params = self._ensure_ch_params()
         bs_p = params[c.PARAMSET_ANT_BS]
         ue_p = params[c.PARAMSET_ANT_UE]
+        bs_shape = tuple(int(x) for x in _np(bs_p[c.PARAMSET_ANT_SHAPE]))
+        ue_shape = tuple(int(x) for x in _np(ue_p[c.PARAMSET_ANT_SHAPE]))
 
         aod_t = np.nan_to_num(_np(self[c.AOD_EL_FOV_PARAM_NAME]))
         aod_p = np.nan_to_num(_np(self[c.AOD_AZ_FOV_PARAM_NAME]))
@@ -321,15 +331,42 @@ class Dataset(DotDict):
         aoa_p = np.nan_to_num(_np(self[c.AOA_AZ_FOV_PARAM_NAME]))
         valid = ~np.isnan(_np(self[c.AOD_EL_FOV_PARAM_NAME]))
 
-        a_tx = np.asarray(array_response(
-            tuple(int(x) for x in _np(bs_p[c.PARAMSET_ANT_SHAPE])),
-            float(bs_p[c.PARAMSET_ANT_SPACING]), jnp.asarray(aod_t),
-            jnp.asarray(aod_p), jnp.asarray(valid)))
-        a_rx = np.asarray(array_response(
-            tuple(int(x) for x in _np(ue_p[c.PARAMSET_ANT_SHAPE])),
-            float(ue_p[c.PARAMSET_ANT_SPACING]), jnp.asarray(aoa_t),
-            jnp.asarray(aoa_p), jnp.asarray(valid)))
-        return a_rx[:, :, None, :] * a_tx[:, None, :, :]
+        n_ue, n_p = aod_t.shape
+        r = ue_shape[0] * ue_shape[1]
+        t = bs_shape[0] * bs_shape[1]
+        out_bytes = n_ue * r * t * n_p * 8
+        limit = int(config.get("max_array_product_bytes") or (4 << 30))
+        if out_bytes > limit:
+            raise MemoryError(
+                f"array_response_product would be [{n_ue}, {r}, {t}, "
+                f"{n_p}] complex64 = {out_bytes / 2**30:.1f} GiB on the "
+                f"host (limit {limit / 2**30:.1f} GiB, config "
+                "'max_array_product_bytes'). Use dataset.subset(idxs) to "
+                "restrict users, or compute channels directly — "
+                "compute_channels never materializes this product.")
+
+        def response(shape, spacing, theta, phi, v):
+            kd = 2 * np.pi * spacing
+            st = np.sin(theta)
+            ky = kd * st * np.sin(phi)
+            kz = kd * np.cos(theta)
+            pos = ant_indices(shape)
+            phase = (pos[None, :, 1:2] * ky[:, None, :] +
+                     pos[None, :, 2:3] * kz[:, None, :])
+            resp = np.exp(1j * phase).astype(np.complex64)
+            resp[~np.broadcast_to(v[:, None, :], resp.shape)] = 0
+            return resp
+
+        out = np.empty((n_ue, r, t, n_p), dtype=np.complex64)
+        block = max(1, int(config.get("user_block") or 16384))
+        for s in range(0, n_ue, block):
+            e = min(s + block, n_ue)
+            a_tx = response(bs_shape, float(bs_p[c.PARAMSET_ANT_SPACING]),
+                            aod_t[s:e], aod_p[s:e], valid[s:e])
+            a_rx = response(ue_shape, float(ue_p[c.PARAMSET_ANT_SPACING]),
+                            aoa_t[s:e], aoa_p[s:e], valid[s:e])
+            out[s:e] = a_rx[:, :, None, :] * a_tx[:, None, :, :]
+        return out
 
     def _clear_cache_rotated_angles(self) -> None:
         for k in {c.AOD_EL_ROT_PARAM_NAME, c.AOD_AZ_ROT_PARAM_NAME,

@@ -235,3 +235,95 @@ def test_parity_pathloss_and_los(ref):
                                np.asarray(rds.distance), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(ods.num_paths),
                                   np.asarray(rds.num_paths))
+
+
+# ----------------------------------------------------------------------------
+# Gradient parity vs the reference (BASELINE target: "allclose forward
+# channels AND gradients vs. the reference CPU generator"). The upstream
+# generator has no autodiff, so its gradients are taken by central finite
+# differences THROUGH deepmimo.generator.dataset.Dataset.compute_channels
+# (reference channel.py:200-288) and compared against our complex128 VJP.
+# ----------------------------------------------------------------------------
+
+def _ref_loss_fn(ref, data, setp, cot):
+    """loss(data) = Re<cot, H_ref(data)> through the upstream generator."""
+    def loss(d):
+        h = _ref_channels(ref, d, setp)
+        return float(np.real(np.vdot(cot, h)))
+    return loss
+
+
+def test_gradients_vs_reference_fd(ref):
+    import jax
+    import jax.numpy as jnp
+    from deepmimo_tpu.ops.types import PathData, AntennaPanel, ChannelConfig
+    from deepmimo_tpu.ops.channel import render_channels
+
+    data = make_synthetic_paths(n_ue=4, max_paths=4, seed=55)
+    n_fft, sel, bw = 32, np.arange(4), 10e6
+
+    def setp(p):
+        p["bs_antenna"]["shape"] = np.array([2, 2])
+        p["ue_antenna"]["shape"] = np.array([1, 1])
+        p["ofdm"]["subcarriers"] = n_fft
+        p["ofdm"]["selected_subcarriers"] = sel
+        p["ofdm"]["bandwidth"] = bw
+        p["num_paths"] = 4
+
+    h0 = _ref_channels(ref, data, setp)
+    rng = np.random.RandomState(3)
+    cot_np = (rng.normal(size=h0.shape) +
+              1j * rng.normal(size=h0.shape))
+    ref_loss = _ref_loss_fn(ref, data, setp, cot_np)
+
+    # --- our VJP (complex128 functional renderer, same conventions) ---
+    paths = PathData.from_numpy(
+        power=data["power"], phase=data["phase"], delay=data["delay"],
+        aoa_az=data["aoa_az"], aoa_el=data["aoa_el"],
+        aod_az=data["aod_az"], aod_el=data["aod_el"], dtype=jnp.float64)
+    cfg = ChannelConfig(bs_shape=(2, 2), ue_shape=(1, 1), freq_domain=True,
+                        subcarriers=n_fft,
+                        selected_subcarriers=tuple(sel.tolist()),
+                        bandwidth=bw, num_paths=4, dtype="complex128")
+    bs = AntennaPanel.make(dtype=jnp.float64)
+    ue = AntennaPanel.make(dtype=jnp.float64)
+    cot = jnp.asarray(cot_np)
+
+    def our_loss(p):
+        h = render_channels(p, bs, ue, cfg)
+        # reference layout: [n_ue, rx, tx, k]
+        return jnp.real(jnp.vdot(cot, h))
+
+    grads = jax.grad(our_loss, allow_int=True)(paths)
+
+    # --- central FD through the upstream generator, per field ---
+    # eps balances f32-accumulation noise (the reference accumulates in
+    # csingle) against truncation; tolerances are relative to each
+    # field's gradient scale.
+    fields = {
+        "power": ("power_dbw", 1e-2, 2e-3),
+        "phase": ("phase_deg", 1e-2, 2e-3),
+        "delay": ("delay_s", 1e-11, 2e-3),
+        "aoa_az": ("aoa_az_deg", 1e-2, 2e-3),
+        "aoa_el": ("aoa_el_deg", 1e-2, 2e-3),
+        "aod_az": ("aod_az_deg", 1e-2, 2e-3),
+        "aod_el": ("aod_el_deg", 1e-2, 2e-3),
+    }
+    probe_rng = np.random.RandomState(11)
+    valid = ~np.isnan(np.asarray(data["power"], dtype=np.float64))
+    for key, (our_field, eps, rtol) in fields.items():
+        g_ours = np.asarray(getattr(grads, our_field), dtype=np.float64)
+        gscale = max(np.abs(g_ours).max(), 1e-300)
+        coords = np.argwhere(valid)
+        pick = coords[probe_rng.choice(len(coords), size=4, replace=False)]
+        for (u, p_i) in pick:
+            def perturbed(delta):
+                d = {k: np.array(v, dtype=np.float64, copy=True)
+                     for k, v in data.items()}
+                d[key][u, p_i] += delta
+                return ref_loss(d)
+            fd = (perturbed(eps) - perturbed(-eps)) / (2 * eps)
+            ad = g_ours[u, p_i]
+            assert abs(fd - ad) <= rtol * gscale, (
+                f"{key}[{u},{p_i}]: reference FD={fd:.6e} vs our "
+                f"VJP={ad:.6e} (field grad scale {gscale:.3e})")
