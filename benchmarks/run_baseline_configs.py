@@ -97,7 +97,7 @@ def bench_tpu(data, spec):
     dev_paths = jax.device_put(paths)
     out = render(dev_paths, bs, ue, 0)
     # block_until_ready returns early through the relay: sync via readback
-    float(jax.device_get(out.ravel()[-1]))
+    float(jax.device_get(out[(-1,) * out.ndim]))
 
     # relay round-trip to subtract
     f_tiny = jax.jit(lambda x: jnp.sum(x * 1.000001))
@@ -109,7 +109,7 @@ def bench_tpu(data, spec):
     def sweep():
         outs = [render(dev_paths, bs, ue, i * block)
                 for i in range(n_blocks)]
-        float(jax.device_get(outs[-1].ravel()[-1]))
+        float(jax.device_get(outs[-1][(-1,) * outs[-1].ndim]))
 
     best = min(_timed(sweep) for _ in range(3))
     return n_blocks * block / max(best - t_rt, 1e-9)

@@ -39,7 +39,10 @@ class DeepMIMOConfig:
         "compute_dtype": "complex64",     # channel output dtype
         "render_backend": "fused",        # path-sum backend: fused|pallas|xla
         "planes_layout": "packed",        # H plane layout: packed|stacked
-        "matmul_dtype": "float32",        # path-sum matmul input precision
+        # Path-sum matmul precision: "float32" = f32-grade accumulation
+        # (3 bf16 MXU passes; ~5e-6 max rel err vs the f64 oracle),
+        # "bfloat16" = 1 fast pass (~3e-3 err), "highest" = 6 passes.
+        "matmul_dtype": "float32",
         "user_block": 16384,              # users per block when streaming to host
         # compute_channels renders in ONE dispatch when the output tensor
         # fits this budget (bytes); larger outputs stream over user_block

@@ -93,6 +93,19 @@ def _rd(cfg: ChannelConfig):
     return cfg.rdtype
 
 
+def _xla_precision(cfg: ChannelConfig):
+    """Matmul precision for XLA (non-Pallas) path sums.
+
+    TPU f32 matmuls default to ONE bf16 MXU pass (~2^-9 relative error —
+    measured 2.9e-3 vs the f64 oracle, benchmarks/perf_precision.py);
+    matmul_dtype "float32" therefore requests HIGH (3 passes, ~f32-grade,
+    the XLA analogue of the fused kernel's manual hi/lo split). No-op on
+    CPU, which always computes full f32.
+    """
+    return {"float32": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}.get(cfg.matmul_dtype)
+
+
 def _ofdm_path_gains(cfg: ChannelConfig, powers_lin, delays, phase_deg, valid,
                      t_snap, paths: PathData):
     """Per-path complex gain on the selected subcarriers: g[u, p, k].
@@ -139,7 +152,8 @@ def _ofdm_path_gains(cfg: ChannelConfig, powers_lin, delays, phase_deg, valid,
             dft = jnp.exp(-1j * (2 * jnp.pi / n_fft) *
                           (d[:, None] * k_sel[None, :]).astype(_rd(cfg)))
             g = jnp.einsum("upd,dk->upk", path_const.astype(cfg.cdtype),
-                           dft.astype(cfg.cdtype))
+                           dft.astype(cfg.cdtype),
+                           precision=_xla_precision(cfg))
     return g.astype(cfg.cdtype)
 
 
@@ -185,8 +199,11 @@ def _compact_paths(cfg, paths: PathData, valid, powers_lin, aod_theta,
     if paths.doppler_vel is not None:
         arrs += [paths.doppler_vel, paths.doppler_acc]
     stacked = jnp.stack([a.astype(rd) for a in arrs], axis=-1)
+    # HIGHEST: the permutation must be EXACT — each output row selects one
+    # input value; a 1-bf16-pass TPU dot would round every routed value.
     out = jnp.einsum("uds,usa->uda", onehot, stacked,
-                     preferred_element_type=rd)
+                     preferred_element_type=rd,
+                     precision=jax.lax.Precision.HIGHEST)
     cols = [out[..., i] for i in range(len(arrs))]
     new_valid = slots[None, :] < n_valid
     new_paths = PathData(
@@ -245,8 +262,10 @@ def _path_sum_planes_ri(cfg: ChannelConfig, arx, atx, gr, gi):
         cast = lambda x: x.astype(jnp.bfloat16)
         er, ei, gr, gi = cast(er), cast(ei), cast(gr), cast(gi)
 
+    prec = None if cfg.matmul_dtype == "bfloat16" else _xla_precision(cfg)
     mm = lambda a, b: jnp.einsum("uqp,upk->uqk", a, b,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
     hr = mm(er, gr) - mm(ei, gi)
     hi = mm(er, gi) + mm(ei, gr)
     k = gr.shape[-1]
@@ -438,7 +457,7 @@ def _path_sum_pallas(cfg: ChannelConfig, arx, atx, powers_lin,
     return (hr + 1j * hi).astype(cfg.cdtype).reshape(u, r, t_ant, k)
 
 
-def _path_sum(a_rx, a_tx, g, cdtype):
+def _path_sum(a_rx, a_tx, g, cdtype, cfg=None):
     """H[u, r, t, k] = sum_p a_rx[u,r,p] a_tx[u,t,p] g[u,p,k].
 
     Associated as (outer-product -> batched matmul) so the only large
@@ -448,7 +467,8 @@ def _path_sum(a_rx, a_tx, g, cdtype):
     t = a_tx.shape[1]
     e = (a_rx[:, :, None, :] * a_tx[:, None, :, :]).reshape(u, r * t, p)
     h = jnp.einsum("uqp,upk->uqk", e.astype(cdtype), g,
-                   preferred_element_type=cdtype)
+                   preferred_element_type=cdtype,
+                   precision=_xla_precision(cfg) if cfg else None)
     return h.reshape(u, r, t, g.shape[-1])
 
 
@@ -671,7 +691,7 @@ def render_channels(paths: PathData, bs: AntennaPanel, ue: AntennaPanel,
         elif cfg.freq_domain:
             g = _ofdm_path_gains(cfg, powers_lin, paths.delay_s,
                                  paths.phase_deg, valid, t_snap, paths)
-            h = _path_sum(a_rx, a_tx, g, cfg.cdtype)
+            h = _path_sum(a_rx, a_tx, g, cfg.cdtype, cfg)
         else:
             psi = jnp.deg2rad(paths.phase_deg)
             gains = jnp.where(valid, jnp.sqrt(powers_lin), 0.0) * \

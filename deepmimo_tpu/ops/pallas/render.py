@@ -35,7 +35,20 @@ materializes er/ei/gr/gi and their cotangents in HBM.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
+
+# Perf-bisect ablations (trace-time; benchmarks/perf_lanepack.py only).
+_ABLATE = os.environ.get("DM_RENDER_ABLATE", "")
+
+# Lane-packed layout (trace-time; see _grouping). Off by default: the
+# per-residue masked dots contract all 128 lanes, multiplying MXU work by
+# group*128/ceil(P,32) (~4x at P=25) — measured to cancel the VPU/DMA
+# savings on MIMO panels (benchmarks/perf_lanepack.py: packed 22.3 ms vs
+# legacy 14.5 ms on the 64-ant headline). It wins only when the panel is
+# small (q ~ 1, MXU negligible); enable for experiments via
+# DM_RENDER_LANE_PACK=1 or render.LANE_PACK = True.
+LANE_PACK = bool(int(os.environ.get("DM_RENDER_LANE_PACK", "0")))
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +74,57 @@ def _best_l1(k: int) -> int:
             if abs(l1 - k // l1) < abs(best - k // best):
                 best = l1
     return best
+
+
+def _grouping(p: int) -> int:
+    """Users per 128-lane group (lane-packed layout).
+
+    A [U, P] f32 per-path array is (8, 128)-tile padded on TPU: at P = 25
+    every VPU pass and every HBM byte of kernel input pays a 5.1x tax.
+    Packing G = 128 // P users' paths onto one 128-lane group makes every
+    per-path stage (recurrences, panel build, subcarrier tables) and the
+    kernel input DMA dense (benchmarks/SOL.md, the round-2 deferred
+    'structural fix'). The MXU path-sum becomes G per-residue dots with a
+    lane mask on the smaller operand. CAVEAT (why this is opt-in, see
+    LANE_PACK): each residue dot contracts the full 128 lanes while the
+    legacy layout's dot contracts only ceil(P, 32) — the packed MXU work
+    is group*128/ceil(P, 32) (~4x at P=25) of legacy's, which outweighs
+    the VPU/DMA savings whenever the panel product q = R*T is large.
+    """
+    if not LANE_PACK:
+        return 1
+    return max(1, 128 // max(p, 1))
+
+
+def _pack_rows(x, nb: int, g: int, ug: int):
+    """[nb*g*ug, *mid, P] -> lane-packed [nb*ug, *mid, 128].
+
+    Tile b holds users [b*g*ug, (b+1)*g*ug); within the tile, row j lane
+    (r*P + p) is user b*g*ug + r*ug + j, path p — residue-r users are
+    CONTIGUOUS rows [r*ug, (r+1)*ug) of the OUTPUT tile, so the kernel's
+    per-residue results store as static row slices in global user order.
+    Lanes are explicitly zero-padded to 128 so kernel register pads hold
+    exact zeros (amp = 0 there => zero gain planes, no NaN/Inf leakage
+    into the masked dots).
+    """
+    p = x.shape[-1]
+    mid = x.shape[1:-1]
+    y = x.reshape((nb, g, ug) + mid + (p,))
+    perm = (0, 2) + tuple(range(3, 3 + len(mid))) + (1, 3 + len(mid))
+    y = y.transpose(perm).reshape((nb * ug,) + mid + (g * p,))
+    if g * p < 128:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, 128 - g * p)])
+    return y
+
+
+def _unpack_rows(y, nb: int, g: int, ug: int, p: int):
+    """Inverse of :func:`_pack_rows`: [nb*ug, *mid, 128] -> [nb*g*ug, *mid, P]."""
+    y = y[..., :g * p]
+    mid = y.shape[1:-1]
+    z = y.reshape((nb, ug) + mid + (g, p))
+    perm = (0, 2 + len(mid), 1) + tuple(range(2, 2 + len(mid))) + \
+        (3 + len(mid),)
+    return z.transpose(perm).reshape((nb * g * ug,) + mid + (p,))
 
 
 # ----------------------------------------------------------------------------
@@ -102,8 +166,11 @@ def _reference_impl(gry, grz, gty, gtz, amp, psi, omega,
     gr = amp[:, None, :, None] * jnp.cos(base)
     gi = amp[:, None, :, None] * jnp.sin(base)
 
+    # HIGHEST: this is the correctness oracle / VMEM-overflow fallback —
+    # a 1-bf16-pass TPU dot here would put ~2^-9 noise in the reference.
     mm = lambda a, b: jnp.einsum("uqp,uspk->uqsk", a, b,
-                                 preferred_element_type=jnp.float32
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST
                                  ).reshape(u, a.shape[1], n_s * n_k)
     return mm(er, gr) - mm(ei, gi), mm(er, gi) + mm(ei, gr)
 
@@ -111,6 +178,41 @@ def _reference_impl(gry, grz, gty, gtz, amp, psi, omega,
 # ----------------------------------------------------------------------------
 # Kernel
 # ----------------------------------------------------------------------------
+
+def _dot_mode(mm_dtype: str, dn):
+    """MXU dot strategy: (prepare(x) -> operand tuple, dot(a, b) -> f32).
+
+    TPU MXU matmuls on f32 inputs are emulated in bf16 passes. Mosaic's
+    dot lowering supports only DEFAULT (1 pass, ~2^-9 relative error —
+    measured 2.9e-3 max rel err on the production render vs the f64
+    oracle, benchmarks/perf_precision.py) and HIGHEST (6 passes, ~2x
+    kernel time). "float32" therefore does a MANUAL 3-pass split:
+    x = hi + lo in bf16, dot = hi.hi + hi.lo + lo.hi -> ~2^-17 relative
+    (measured 5e-6-grade parity) at 3 MXU passes, with the split done
+    ONCE per operand outside the residue loop.
+    """
+    f32 = jnp.float32
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}.get(mm_dtype)
+    base = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                             preferred_element_type=f32, precision=prec)
+    if mm_dtype == "float32":
+        def prep(x):
+            hi = x.astype(jnp.bfloat16)
+            return hi, (x - hi.astype(f32)).astype(jnp.bfloat16)
+
+        def dot(a, b):
+            return base(a[0], b[0]) + base(a[0], b[1]) + base(a[1], b[0])
+        return prep, dot
+    if mm_dtype == "bfloat16":
+        return (lambda x: (x.astype(jnp.bfloat16),)), \
+            (lambda a, b: base(a[0], b[0]))
+    return (lambda x: (x,)), (lambda a, b: base(a[0], b[0]))
+
+
+def _mask_op(sel, a):
+    """Lane-mask every component of a prepared operand tuple."""
+    return tuple(jnp.where(sel, c, jnp.zeros_like(c)) for c in a)
 
 def _phasor_powers(c1, s1, m: int):
     """(cos(m'x), sin(m'x)) for m'=0..m-1 from ONE base sincos pair.
@@ -240,10 +342,10 @@ def _ofdm_tables(cpsi, spsi, com, som, scale, n_k, l1):
 def _kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
             cgtz_ref, sgtz_ref, amp_ref, cpsi_ref, spsi_ref, com_ref,
             som_ref, h_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype,
-            packed):
+            packed, group=1, n_paths=0):
     f32 = jnp.float32
     amp = amp_ref[:]
-    ut, p = amp.shape
+    ug = amp.shape[0]                    # rows per block (= user_tile / group)
     n_s = cpsi_ref.shape[1]
 
     r = rx_shape[0] * rx_shape[1]
@@ -258,43 +360,49 @@ def _kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
     q = r * t
     sk = n_s * n_k
     dn = (((2,), (2,)), ((0,), (0,)))
-    cast = (lambda x: x.astype(jnp.bfloat16)) if mm_dtype == "bfloat16" \
-        else (lambda x: x)
-    # f32 matmuls on the TPU MXU are emulated in bf16 passes; the precision
-    # knob picks the pass count (DEFAULT=1, HIGH=3, HIGHEST=6). mm_dtype
-    # "float32" leaves the compiler default.
-    prec = {"high": jax.lax.Precision.HIGH,
-            "highest": jax.lax.Precision.HIGHEST,
-            "default": jax.lax.Precision.DEFAULT}.get(mm_dtype)
-    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
-                            preferred_element_type=f32, precision=prec)
-    if packed:
-        # Packed (hr||hi)-on-lanes output [ut, q, 2sk]: with sk a multiple
-        # of 64 the minor dim is a multiple of 128 lanes, which is the
-        # difference between ~165 GB/s and ~1.4 TB/s of output DMA on this
-        # stack (benchmarks/perf_layout.py). Keep the ONE full-height
-        # (2q-row) MXU dot — two q-row dots measured ~2x slower (half-empty
-        # MXU passes) — and reassemble on lanes:
-        #   m[:, :q] = [er.gr^T | er.gi^T],  m[:, q:] = [ei.gr^T | ei.gi^T]
-        #   [hr | hi] = m[:, :q] + sign . roll(m[:, q:], sk)
-        # with sign = -1 on the first sk lanes (the rolled ei.gi^T half).
-        e2 = cast(jnp.concatenate((er, ei), axis=1))
-        g2 = cast(jnp.concatenate((gr, gi), axis=1))
-        m = dot(e2, g2)
-        rolled = pltpu.roll(m[:, q:, :], sk, axis=2)
-        lane = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 2)
-        h_ref[:] = m[:, :q, :] + jnp.where(lane < sk, -rolled, rolled)
-        return
-    # One packed MXU dot contracting p on both sides:
-    # [ut, 2q, p] x [ut, 2k, p] -> [ut, 2q, 2k]
-    e2 = cast(jnp.concatenate((er, ei), axis=1))
-    g2 = cast(jnp.concatenate((gr, gi), axis=1))
-    m = dot(e2, g2)
-    # One stacked output buffer [2, ut, q, sk]: H lands in HBM exactly once
-    # (separate hr/hi outputs forced the caller to jnp.stack them — a full
-    # extra read+write of H, and a second H-sized peak allocation).
-    h_ref[0] = m[:, :q, :sk] - m[:, q:, sk:]
-    h_ref[1] = m[:, :q, sk:] + m[:, q:, :sk]
+    prep, dot = _dot_mode(mm_dtype, dn)
+    # Full-height operands: ONE 2q-row dot per residue — two q-row dots
+    # measured ~2x slower (half-empty MXU passes).
+    e2 = prep(jnp.concatenate((er, ei), axis=1))    # [ug, 2q, L]
+    g2 = prep(jnp.concatenate((gr, gi), axis=1))    # [ug, 2sk, L]
+
+    # Lane-packed layout (group > 1): lanes hold (user-residue, path)
+    # pairs; each residue r contracts only its own lanes by masking the
+    # smaller operand (pad lanes >= group*n_paths carry amp = 0 gains, so
+    # they never need masking on the g2 side).
+    mask_e = 2 * q <= 2 * sk
+    if group > 1:
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (e2 if mask_e else g2)[0].shape, 2)
+
+    n_res = 1 if "oneres" in _ABLATE else group
+    for res in range(n_res):
+        if group == 1 or "nomask" in _ABLATE:
+            e2r, g2r = e2, g2
+        else:
+            sel = (lane >= res * n_paths) & (lane < (res + 1) * n_paths)
+            e2r = _mask_op(sel, e2) if mask_e else e2
+            g2r = g2 if mask_e else _mask_op(sel, g2)
+        m = dot(e2r, g2r)
+        rows = slice(res * ug, (res + 1) * ug)
+        if packed:
+            # Packed (hr||hi)-on-lanes output rows [ug, q, 2sk]: with sk a
+            # multiple of 64 the minor dim is 128-lane aligned — the
+            # difference between ~165 GB/s and ~1.4 TB/s of output DMA on
+            # this stack (benchmarks/perf_layout.py). Reassemble on lanes:
+            #   m[:, :q] = [er.gr^T | er.gi^T], m[:, q:] = [ei.gr^T | ei.gi^T]
+            #   [hr | hi] = m[:, :q] + sign . roll(m[:, q:], sk)
+            # with sign = -1 on the first sk lanes (the rolled ei.gi^T half).
+            rolled = pltpu.roll(m[:, q:, :], sk, axis=2)
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 2)
+            h_ref[rows] = m[:, :q, :] + jnp.where(lane2 < sk, -rolled,
+                                                  rolled)
+        else:
+            # Stacked output buffer [2, ut, q, sk]: H lands in HBM exactly
+            # once (separate hr/hi outputs forced the caller to stack them
+            # — a full extra read+write of H).
+            h_ref[0, rows] = m[:, :q, :sk] - m[:, q:, sk:]
+            h_ref[1, rows] = m[:, :q, sk:] + m[:, q:, :sk]
 
 
 def _kernel_norx(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, amp_ref, cpsi_ref,
@@ -309,24 +417,39 @@ def _kernel_norx(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, amp_ref, cpsi_ref,
 
 def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
                   n_k: int, n_s: int = 1) -> int:
-    """Rough VMEM bytes for one tile (padded to (8, 128) f32 tiles)."""
+    """Rough VMEM bytes for one tile (padded to (8, 128) f32 tiles).
+
+    Lane-packed layout: per-path stages run on [ug, rows, 128] arrays
+    with ug = user_tile / group rows; the dot output and H tile stay
+    per-user sized.
+    """
+    g = _grouping(p)
+    ug = max(1, user_tile // g)
+    lanes = 128 if g > 1 else _ceil_to(p, 128)
+    vm = lambda rows: ug * _ceil_to(max(rows, 1), 8) * lanes * 4
     pad = lambda a, b: _ceil_to(max(a, 1), 8) * _ceil_to(max(b, 1), 128) * 4
     r = rx_shape[0] * rx_shape[1]
     t = tx_shape[0] * tx_shape[1]
     q = r * t
     sk = n_s * n_k
-    per_u = (
-        2 * (pad(rx_shape[0], p) + pad(rx_shape[1], p)) +
-        2 * (pad(tx_shape[0], p) + pad(tx_shape[1], p)) +
-        2 * (pad(r, p) + pad(t, p)) +      # arx, atx
-        2 * pad(2 * q, p) +                # er/ei + packed copy
-        4 * pad(p, n_k) +                  # subcarrier tables
-        2 * n_s * pad(p, n_k) +            # t2 coarse fold per snapshot
-        4 * pad(p, sk) + pad(p, 2 * sk) +  # gr/gi + packed
-        pad(2 * q, 2 * sk) +               # dot output
-        2 * 2 * pad(q, sk)                 # H planes (double-buffered)
+    l1 = _best_l1(n_k)
+    l2 = n_k // l1
+    per_path = (
+        # inputs are 2-D [ug, lanes] blocks, double-buffered
+        13 * _ceil_to(ug, 8) * lanes * 4 * 2 +
+        2 * (vm(rx_shape[0]) + vm(rx_shape[1]) +
+             vm(tx_shape[0]) + vm(tx_shape[1])) +  # phasor stacks
+        2 * (vm(r) + vm(t)) +                    # arx, atx
+        4 * vm(q) +                              # er/ei + e2 concat
+        2 * (vm(l1) + vm(l2)) + 2 * n_s * vm(l2) +  # subcarrier tables
+        4 * vm(sk) +                             # gr/gi + g2 concat
+        # per-residue masked operand copies (lane-packed mode only)
+        (2 * vm(min(2 * q, 2 * sk)) if g > 1 else 0)
     )
-    return user_tile * per_u + 8 * user_tile * 128 * 4
+    dot_out = ug * (_ceil_to(2 * q, 8) + _ceil_to(q, 8)) * \
+        _ceil_to(2 * sk, 128) * 4                # m + rolled (per residue)
+    h_tile = 2 * user_tile * _ceil_to(q, 8) * _ceil_to(2 * sk, 128) * 4
+    return per_path + dot_out + h_tile
 
 
 def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
@@ -335,13 +458,12 @@ def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
     up to a tile multiple by the caller, so no divisibility constraint).
 
     Budget: v5e has 128 MiB of VMEM; 80 MiB leaves Mosaic headroom for
-    double buffering (the estimate is conservative — ut=128 on the
-    headline config estimates 75.5 MiB and compiles + runs ~6% faster
-    than ut=64, benchmarks/SOL.md). The round-1 10 MiB budget picked
-    ut=16 and left per-step fixed costs dominant once the output DMA was
-    fixed.
+    double buffering. Tiles are multiples of the lane-packing group so
+    every residue's rows fill whole sublane granules.
     """
-    for ut in (128, 64, 32, 16, 8):
+    g = _grouping(p)
+    for ug in (128, 64, 32, 16, 8):
+        ut = g * ug
         if vmem_estimate(ut, rx_shape, tx_shape, p, n_k, n_s) <= budget:
             return ut
     return 0
@@ -372,7 +494,7 @@ def _bwd_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
                 som_ref, ct_ref,
                 dgry_ref, dgrz_ref, dgty_ref, dgtz_ref, damp_ref, dpsi_ref,
                 domega_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype,
-                packed):
+                packed, group=1, n_paths=0):
     """Recompute-in-VMEM backward: cotangent tile -> per-path gradients.
 
     Forward (per user): H = E g^T with E[q,p] the panel outer product and
@@ -391,7 +513,7 @@ def _bwd_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
     """
     f32 = jnp.float32
     amp = amp_ref[:]
-    ut, p = amp.shape
+    ug = amp.shape[0]                    # rows per block (= user_tile / group)
     n_s = cpsi_ref.shape[1]
     r1, r2 = rx_shape
     t1, t2 = tx_shape
@@ -403,46 +525,63 @@ def _bwd_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
         (cgty_ref[:], sgty_ref[:], cgtz_ref[:], sgtz_ref[:]),
         rx_shape, tx_shape)
     cb_, sb_ = _ofdm_tables(cpsi_ref[:], spsi_ref[:], com_ref[:],
-                            som_ref[:], None, n_k, l1)     # [ut, sk, p]
+                            som_ref[:], None, n_k, l1)     # [ug, sk, L]
 
-    cast = (lambda x: x.astype(jnp.bfloat16)) if mm_dtype == "bfloat16" \
-        else (lambda x: x)
-    prec = {"high": jax.lax.Precision.HIGH,
-            "highest": jax.lax.Precision.HIGHEST,
-            "default": jax.lax.Precision.DEFAULT}.get(mm_dtype)
-    dn_sk = (((2,), (1,)), ((0,), (0,)))    # [ut,q,sk] x [ut,sk,p]
-    dn_q = (((1,), (1,)), ((0,), (0,)))     # [ut,q,sk] x [ut,q,p]
-    dot_sk = functools.partial(jax.lax.dot_general, dimension_numbers=dn_sk,
-                               preferred_element_type=f32, precision=prec)
-    dot_q = functools.partial(jax.lax.dot_general, dimension_numbers=dn_q,
-                              preferred_element_type=f32, precision=prec)
+    dn_sk = (((2,), (1,)), ((0,), (0,)))    # [ug,q,sk] x [ug,sk,L]
+    dn_q = (((1,), (1,)), ((0,), (0,)))     # [ug,q,sk] x [ug,q,L]
+    prep_sk, dot_sk = _dot_mode(mm_dtype, dn_sk)
+    prep_q, dot_q = _dot_mode(mm_dtype, dn_q)
+
+    # Per-residue cotangent rows -> lane-packed gradients. Each residue's
+    # dot writes ALL lanes; only lanes [res*P, (res+1)*P) correspond to
+    # that residue's users, so results are select-combined across residues
+    # (masks are disjoint; pad lanes stay zero via amp = 0 in the chains).
+    def lane_sel(res, x):
+        if group == 1:
+            return x
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+        return jnp.where((lane1 >= res * n_paths) &
+                         (lane1 < (res + 1) * n_paths), x, 0)
 
     if packed:
         # ct [ut, q, 2sk], hr in the first minor half. Concats/slices
         # stay on sublane axes (lane-axis ops would force relayouts).
-        ct = cast(ct_ref[:])
-        g2a = cast(jnp.concatenate((cb_, sb_), axis=1))    # [ut, 2sk, p]
-        g2b = cast(jnp.concatenate((-sb_, cb_), axis=1))
-        der = amp[:, None, :] * dot_sk(ct, g2a)            # [ut, q, p]
-        dei = amp[:, None, :] * dot_sk(ct, g2b)
-        a2 = dot_q(ct, cast(er))                           # [ut, 2sk, p]
-        b2 = dot_q(ct, cast(ei))
+        g2a = prep_sk(jnp.concatenate((cb_, sb_), axis=1))  # [ug, 2sk, L]
+        g2b = prep_sk(jnp.concatenate((-sb_, cb_), axis=1))
+        erc, eic = prep_q(er), prep_q(ei)
+        der = dei = a2 = b2 = 0.0
+        for res in range(group):
+            # prep is dn-independent: one bf16 hi/lo split feeds both dots
+            ctp = prep_sk(ct_ref[res * ug:(res + 1) * ug])  # [ug, q, 2sk]
+            der = der + lane_sel(res, dot_sk(ctp, g2a))     # [ug, q, L]
+            dei = dei + lane_sel(res, dot_sk(ctp, g2b))
+            a2 = a2 + lane_sel(res, dot_q(ctp, erc))        # [ug, 2sk, L]
+            b2 = b2 + lane_sel(res, dot_q(ctp, eic))
+        der = amp[:, None, :] * der
+        dei = amp[:, None, :] * dei
         dgr = a2[:, :sk, :] + b2[:, sk:, :]
         dgi = a2[:, sk:, :] - b2[:, :sk, :]
     else:
-        ct_r, ct_i = cast(ct_ref[0]), cast(ct_ref[1])      # [ut, q, sk]
-        cbc, sbc = cast(cb_), cast(sb_)
-        der = amp[:, None, :] * (dot_sk(ct_r, cbc) + dot_sk(ct_i, sbc))
-        dei = amp[:, None, :] * (dot_sk(ct_i, cbc) - dot_sk(ct_r, sbc))
-        erc, eic = cast(er), cast(ei)
-        dgr = dot_q(ct_r, erc) + dot_q(ct_i, eic)          # [ut, sk, p]
-        dgi = dot_q(ct_i, erc) - dot_q(ct_r, eic)
+        cbc, sbc = prep_sk(cb_), prep_sk(sb_)
+        erc, eic = prep_q(er), prep_q(ei)
+        der = dei = dgr = dgi = 0.0
+        for res in range(group):
+            rows = slice(res * ug, (res + 1) * ug)
+            ctr = prep_sk(ct_ref[0, rows])
+            cti = prep_sk(ct_ref[1, rows])
+            der = der + lane_sel(res, dot_sk(ctr, cbc) + dot_sk(cti, sbc))
+            dei = dei + lane_sel(res, dot_sk(cti, cbc) - dot_sk(ctr, sbc))
+            dgr = dgr + lane_sel(res, dot_q(ctr, erc) + dot_q(cti, eic))
+            dgi = dgi + lane_sel(res, dot_q(cti, erc) - dot_q(ctr, eic))
+        der = amp[:, None, :] * der
+        dei = amp[:, None, :] * dei
 
     # --- gain-side chain: g = amp * exp(j base), base = psi_s - omega*k ---
+    lanes = amp.shape[1]
     damp_ref[:] = (dgr * cb_ + dgi * sb_).sum(axis=1)
     w = amp[:, None, :] * (cb_ * dgi - sb_ * dgr)          # dL/dbase
-    wv = w.reshape(ut, n_s, n_k, p)
-    dpsi_ref[:] = wv.sum(axis=2)                           # [ut, n_s, p]
+    wv = w.reshape(ug, n_s, n_k, lanes)
+    dpsi_ref[:] = wv.sum(axis=2)                           # [ug, n_s, L]
     kk = jax.lax.broadcasted_iota(jnp.int32, wv.shape, 2).astype(f32)
     domega_ref[:] = -(wv * kk).sum(axis=(1, 2))
 
@@ -451,12 +590,12 @@ def _bwd_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
     if arx is None:
         # Single-antenna RX: E == a_tx; gry/grz gradients are exactly 0.
         datx_r, datx_i = der, dei
-        dgry_ref[:] = jnp.zeros((ut, p), f32)
-        dgrz_ref[:] = jnp.zeros((ut, p), f32)
+        dgry_ref[:] = jnp.zeros((ug, lanes), f32)
+        dgrz_ref[:] = jnp.zeros((ug, lanes), f32)
     else:
         arx_r, arx_i = arx
-        der_v = der.reshape(ut, r, t, p)
-        dei_v = dei.reshape(ut, r, t, p)
+        der_v = der.reshape(ug, r, t, lanes)
+        dei_v = dei.reshape(ug, r, t, lanes)
         ar4_r, ar4_i = arx_r[:, :, None, :], arx_i[:, :, None, :]
         at4_r, at4_i = atx_r[:, None, :, :], atx_i[:, None, :, :]
         datx_r = (der_v * ar4_r + dei_v * ar4_i).sum(axis=1)
@@ -480,35 +619,43 @@ def _bwd_kernel_norx(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, amp_ref,
 
 def vmem_estimate_bwd(user_tile: int, rx_shape, tx_shape, p: int,
                       n_k: int, n_s: int = 1) -> int:
-    """Rough VMEM bytes for one backward tile (f32, (8, 128) padding)."""
-    pad = lambda a, b: _ceil_to(max(a, 1), 8) * _ceil_to(max(b, 1), 128) * 4
+    """Rough VMEM bytes for one backward tile (f32, (8, 128) padding).
+
+    Lane-packed like the forward: per-path intermediates have
+    ug = user_tile / group rows; the cotangent tile stays per-user sized.
+    """
+    g = _grouping(p)
+    ug = max(1, user_tile // g)
+    lanes = 128 if g > 1 else _ceil_to(p, 128)
+    vm = lambda rows: ug * _ceil_to(max(rows, 1), 8) * lanes * 4
     r = rx_shape[0] * rx_shape[1]
     t = tx_shape[0] * tx_shape[1]
     q = r * t
     sk = n_s * n_k
-    per_u = (
-        2 * (pad(rx_shape[0], p) + pad(rx_shape[1], p)) +
-        2 * (pad(tx_shape[0], p) + pad(tx_shape[1], p)) +
-        2 * (pad(r, p) + pad(t, p)) +      # arx, atx
-        2 * pad(q, p) +                    # er/ei
-        4 * pad(p, n_k) + 2 * n_s * pad(p, n_k) +  # subcarrier tables
-        2 * pad(sk, p) +                   # CB/SB
-        2 * pad(q, 2 * sk) +               # ct tile, double-buffered
-                                           # (covers packed [ut,q,2sk] and
-                                           # stacked [2,ut,q,sk] equally)
-        2 * pad(2 * sk, p) +               # g2a/g2b or casts
-        2 * pad(q, p) +                    # der/dei
-        2 * pad(2 * sk, p) + 2 * pad(sk, p) +  # a2/b2 + dgr/dgi
-        3 * pad(sk, p) +                   # w + iota-weighted
-        4 * pad(q, p) + 4 * pad(t, p) + 4 * pad(r, p)  # E-side chain
+    per_path = (
+        13 * vm(1) * 2 +                   # inputs, double-buffered
+        2 * (vm(rx_shape[0]) + vm(rx_shape[1]) +
+             vm(tx_shape[0]) + vm(tx_shape[1])) +
+        2 * (vm(r) + vm(t)) +              # arx, atx
+        2 * vm(q) +                        # er/ei
+        2 * vm(sk) + 2 * vm(2 * sk) +      # CB/SB + g2a/g2b
+        2 * vm(q) +                        # der/dei accumulators
+        2 * vm(2 * sk) + 2 * vm(sk) +      # a2/b2 + dgr/dgi
+        3 * vm(sk) +                       # w + iota-weighted
+        4 * vm(q) + 4 * vm(t) + 4 * vm(r) +  # E-side chain
+        # per-residue dot temporaries (masked copies)
+        2 * vm(max(q, 2 * sk))
     )
-    return user_tile * per_u + 8 * user_tile * 128 * 4
+    ct_tile = 2 * user_tile * _ceil_to(q, 8) * _ceil_to(2 * sk, 128) * 4
+    return per_path + ct_tile + 8 * ug * 128 * 4
 
 
 def pick_user_tile_bwd(rx_shape, tx_shape, p: int, n_k: int,
                        n_s: int = 1, budget: int = 64 * 2**20) -> int:
     """Largest backward tile under the VMEM budget (0 = does not fit)."""
-    for ut in (64, 32, 16, 8):
+    g = _grouping(p)
+    for ug in (64, 32, 16, 8):
+        ut = g * ug
         if vmem_estimate_bwd(ut, rx_shape, tx_shape, p, n_k, n_s) <= budget:
             return ut
     return 0
@@ -520,7 +667,11 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
     n_s = psi.shape[1] // p
     q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
     sk = n_s * n_k
+    g = _grouping(p)
+    user_tile = max(g, (user_tile // g) * g)
+    ug = user_tile // g
     u_pad = _ceil_to(u, user_tile)
+    nb = u_pad // user_tile
 
     skip_rx = rx_shape[0] * rx_shape[1] == 1
     args = _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx=skip_rx)
@@ -529,12 +680,15 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
                 for x in args]
         pad_u = ((0, u_pad - u), (0, 0), (0, 0))
         ct = jnp.pad(ct, pad_u if packed else ((0, 0),) + pad_u)
+    if g > 1:
+        args = [_pack_rows(x, nb, g, ug) for x in args]
+    lanes = args[0].shape[-1]
 
     l1 = _best_l1(n_k)
-    grid = (u_pad // user_tile,)
-    spec_up = pl.BlockSpec((user_tile, p), lambda i: (i, 0),
+    grid = (nb,)
+    spec_up = pl.BlockSpec((ug, lanes), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    spec_psi = pl.BlockSpec((user_tile, n_s, p), lambda i: (i, 0, 0),
+    spec_psi = pl.BlockSpec((ug, n_s, lanes), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     if packed:
         spec_ct = pl.BlockSpec((user_tile, q, 2 * sk), lambda i: (i, 0, 0),
@@ -543,13 +697,15 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
         spec_ct = pl.BlockSpec((2, user_tile, q, sk), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM)
     f32 = jnp.float32
-    out_shapes = tuple([jax.ShapeDtypeStruct((u_pad, p), f32)] * 5 +
-                       [jax.ShapeDtypeStruct((u_pad, n_s, p), f32),
-                        jax.ShapeDtypeStruct((u_pad, p), f32)])
+    rows = nb * ug
+    out_shapes = tuple([jax.ShapeDtypeStruct((rows, lanes), f32)] * 5 +
+                       [jax.ShapeDtypeStruct((rows, n_s, lanes), f32),
+                        jax.ShapeDtypeStruct((rows, lanes), f32)])
     out_specs = tuple([spec_up] * 5 + [spec_psi, spec_up])
     kern = functools.partial(_bwd_kernel_norx if skip_rx else _bwd_kernel,
                              rx_shape=rx_shape, tx_shape=tx_shape, n_k=n_k,
-                             l1=l1, mm_dtype=mm_dtype, packed=packed)
+                             l1=l1, mm_dtype=mm_dtype, packed=packed,
+                             group=g, n_paths=p)
     n_up = 5 if skip_rx else 9
     grads = pl.pallas_call(
         kern,
@@ -559,9 +715,13 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=None if (interpret or g == 1) else
+        pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(*args, ct)
+    if g > 1:
+        grads = [_unpack_rows(x, nb, g, ug, p) for x in grads]
     dgry, dgrz, dgty, dgtz, damp, dpsi, domega = [
-        g[:u] for g in grads]
+        x[:u] for x in grads]
     return (dgry, dgrz, dgty, dgtz, damp, dpsi.reshape(u, n_s * p), domega)
 
 
@@ -646,7 +806,11 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
     u, p = amp.shape
     n_s = psi.shape[1] // p
     q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
+    g = _grouping(p)
+    user_tile = max(g, (user_tile // g) * g)
+    ug = user_tile // g
     u_pad = _ceil_to(u, user_tile)
+    nb = u_pad // user_tile
 
     # psi ships as a 3D [U, S, P] block: the kernel must not split the
     # minor (lane) dim, so the snapshot axis is materialized here.
@@ -655,12 +819,20 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
     if u_pad != u:
         args = [jnp.pad(x, ((0, u_pad - u),) + ((0, 0),) * (x.ndim - 1))
                 for x in args]
+    if g > 1:
+        if "nopack" in _ABLATE:      # perf bisect: right shapes, wrong data
+            args = [jnp.pad(x[:nb * ug],
+                            [(0, 0)] * (x.ndim - 1) + [(0, 128 - p)])
+                    for x in args]
+        else:
+            args = [_pack_rows(x, nb, g, ug) for x in args]
+    lanes = args[0].shape[-1]
 
     l1 = _best_l1(n_k)
-    grid = (u_pad // user_tile,)
-    spec_up = pl.BlockSpec((user_tile, p), lambda i: (i, 0),
+    grid = (nb,)
+    spec_up = pl.BlockSpec((ug, lanes), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    spec_psi = pl.BlockSpec((user_tile, n_s, p), lambda i: (i, 0, 0),
+    spec_psi = pl.BlockSpec((ug, n_s, lanes), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     sk = n_s * n_k
     if packed:
@@ -675,7 +847,7 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
     kern = functools.partial(_kernel_norx if skip_rx else _kernel,
                              rx_shape=rx_shape, tx_shape=tx_shape,
                              n_k=n_k, l1=l1, mm_dtype=mm_dtype,
-                             packed=packed)
+                             packed=packed, group=g, n_paths=p)
     n_up = 5 if skip_rx else 9
     h = pl.pallas_call(
         kern,
@@ -684,6 +856,10 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
+        # The per-residue masked dots + hi/lo splits live on the Mosaic
+        # scoped-vmem stack; the 16 MiB default OOMs at the largest tiles.
+        compiler_params=None if (interpret or g == 1) else
+        pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(*args)
     if u_pad == u:
         return h

@@ -318,3 +318,52 @@ def test_render_channels_planes_packed_cfg():
     assert not _packed_layout(cfg_small)
     out = render_channels_planes(paths, bs, ue, cfg_small)
     assert out.shape[0] == 2
+
+
+def test_fused_render_lane_packed_matches_reference():
+    """Experimental lane-packed layout (render.LANE_PACK): same results.
+
+    The packed layout groups 128 // P users' paths onto one lane group
+    (fwd + bwd kernels take per-residue masked-dot paths); this pins its
+    correctness in interpret mode so the opt-in stays usable.
+    """
+    import deepmimo_tpu.ops.pallas.render as R
+
+    rng = np.random.RandomState(7)
+    U, P, K = 26, 25, 16          # U not a multiple of the group tile
+    mk = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, (U, P)), jnp.float32)
+    args = (mk(-3, 3), mk(-3, 3), mk(-3, 3), mk(-3, 3),
+            mk(0, 1e-4), mk(-3, 3), mk(0, 6))
+    old = R.LANE_PACK
+    R.LANE_PACK = True
+    try:
+        assert R._grouping(P) > 1
+        for rx_shape, tx_shape, packed in [((1, 1), (4, 4), True),
+                                           ((2, 1), (2, 2), False)]:
+            ref = R._reference_impl(*args, rx_shape, tx_shape, K)
+            out = R.fused_render(*args, rx_shape, tx_shape, K, 10, True,
+                                 "float32", packed)
+            if packed:
+                out = (out[..., :K], out[..., K:])
+            for a, b in zip(ref, out):
+                scale = float(jnp.abs(a).max())
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           atol=3e-5 * scale)
+
+        def loss(a):
+            hr, hi = R.fused_render(*a, (2, 1), (2, 2), 8, 10, True,
+                                    "float32", False)
+            return jnp.sum(hr ** 2 + hi ** 2)
+
+        def loss_ref(a):
+            hr, hi = R._reference_impl(*a, (2, 1), (2, 2), 8)
+            return jnp.sum(hr ** 2 + hi ** 2)
+
+        g1 = jax.grad(loss)(args)
+        g2 = jax.grad(loss_ref)(args)
+        for a, b in zip(g1, g2):
+            scale = float(jnp.abs(b).max()) + 1e-12
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4 * scale)
+    finally:
+        R.LANE_PACK = old
