@@ -185,11 +185,8 @@ class Dataset(DotDict):
                 self["clipping_report"] = report
 
         if params.get(c.PARAMSET_POLAR_EN, 0):
-            if to_device:
-                raise ValueError(
-                    "to_device=True is not supported with dual-polarization"
-                    " (four channel sets); call per polarization instead.")
-            channel = self._compute_dual_polar(cfg, bs_panel, ue_panel)
+            channel = self._compute_dual_polar(cfg, bs_panel, ue_panel,
+                                               to_device=to_device)
         else:
             channel = _render_streamed(self._path_data(cfg), bs_panel,
                                        ue_panel, cfg, to_device=to_device,
@@ -199,14 +196,26 @@ class Dataset(DotDict):
         self[c.CHANNEL_PARAM_NAME] = channel
         return channel
 
-    def _compute_dual_polar(self, cfg, bs_panel, ue_panel):
+    def _compute_dual_polar(self, cfg, bs_panel, ue_panel,
+                            to_device: bool = False):
         """Dual-polarization channels: {'VV','VH','HH','HV'} -> H.
 
         Requires per-polarization power/phase matrices (``power_vv``,
         ``phase_vv``, ...) in the scenario; angles and delays are shared
         across polarizations (v3 semantics, reference
         deepmimo_v3/generator/python/generator.py:71-78).
+
+        Fast path (fused-eligible configs): ONE device dispatch renders
+        all four polarizations — the pol axis rides the fused kernel's
+        snapshot axis with per-polarization amplitudes, sharing
+        rotations, FoV, pattern gains, panel phasors and subcarrier
+        tables (the reference runs four full generator passes).
+        ``to_device=True`` returns the raw device planes array in the
+        kernel layout (see ops.channel.render_channels_planes_polar);
+        unpack with ``ops.channel.unpack_polar_planes_np``.
         """
+        from ..ops.channel import polar_fused_eligible
+
         pols = ("VV", "VH", "HH", "HV")
         missing = [p for p in pols
                    if f"power_{p.lower()}" not in super().keys()]
@@ -215,6 +224,27 @@ class Dataset(DotDict):
                 "Dual-polarization requested but the scenario has no "
                 f"per-polarization matrices for {missing}. Expected keys "
                 "like 'power_vv'/'phase_vv'.")
+
+        if polar_fused_eligible(cfg, len(pols)):
+            pd = self._path_data(cfg)
+            pol_p = np.stack([_np(self[f"power_{p.lower()}"])
+                              for p in pols])
+            pol_ph = np.stack([_np(self.get(f"phase_{p.lower()}",
+                                            self[c.PHASE_PARAM_NAME]))
+                               for p in pols])
+            out = _render_polar_streamed(pd, bs_panel, ue_panel, cfg,
+                                         pol_p, pol_ph,
+                                         to_device=to_device)
+            if to_device:
+                return out
+            return {pol: out[i] for i, pol in enumerate(pols)}
+
+        if to_device:
+            raise ValueError(
+                "to_device=True with dual-polarization requires a fused-"
+                "eligible config (OFDM, no rx_filter, complex64, "
+                "arithmetic subcarrier selection); call per polarization "
+                "instead.")
         channels = {}
         for pol in pols:
             pd = self._path_data(cfg)
@@ -772,6 +802,77 @@ def _render_full_jit(pd, bs_panel, ue_panel, cfg, scratch):
     donated so back-to-back serving calls reuse one device allocation."""
     del scratch
     return _render_ri(pd, bs_panel, ue_panel, cfg)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _render_polar_jit(pd, bs_panel, ue_panel, cfg, pol_p, pol_ph):
+    from ..ops.channel import render_channels_planes_polar
+    return render_channels_planes_polar(pd, bs_panel, ue_panel, cfg,
+                                        pol_p, pol_ph)
+
+
+def _render_polar_streamed(path_data: PathData, bs_panel, ue_panel, cfg,
+                           pol_power_dbw, pol_phase_deg,
+                           to_device: bool = False):
+    """Dual-polar render: one fused dispatch (or user-blocked streaming).
+
+    Returns host complex [N_pol, U, R, T, K(, S)] — or, with
+    ``to_device``, the raw device planes array in the kernel layout.
+    """
+    from ..ops.channel import unpack_polar_planes_np
+
+    n_ue = path_data.n_ue
+    n_pol = pol_power_dbw.shape[0]
+    pol_p = jnp.asarray(pol_power_dbw)
+    pol_ph = jnp.asarray(pol_phase_deg)
+
+    out_shape = jax.eval_shape(
+        lambda p, b, u, pp, ph: _render_polar_jit(p, b, u, cfg, pp, ph),
+        path_data, bs_panel, ue_panel, pol_p, pol_ph)
+    out_bytes = int(np.prod(out_shape.shape)) * out_shape.dtype.itemsize
+    budget = int(config.get("max_device_output_bytes"))
+
+    if to_device or out_bytes <= budget:
+        h = _render_polar_jit(path_data, bs_panel, ue_panel, cfg,
+                              pol_p, pol_ph)
+        if to_device:
+            return h
+        return unpack_polar_planes_np(jax.device_get(h), cfg, n_pol)
+
+    # Streamed blocks (device->host copy of block i overlaps block i+1).
+    block = int(config.get("user_block"))
+    per_user_rot = np.asarray(bs_panel.rotation_deg).ndim == 2 or \
+        np.asarray(ue_panel.rotation_deg).ndim == 2
+    chunks: list = []
+    inflight: list = []
+
+    def collect(entry):
+        idx, size, h = entry
+        arr = unpack_polar_planes_np(jax.device_get(h), cfg, n_pol)
+        chunks[idx] = arr[:, :size]
+    for start in range(0, n_ue, block):
+        size = min(block, n_ue - start)
+        idx = len(chunks)
+        chunks.append(None)
+        pd, bsp, uep = _slice_block(path_data, bs_panel, ue_panel,
+                                    per_user_rot, start, size, block)
+        pad = block - size
+        pp = pol_p[:, start:start + size]
+        ph = pol_ph[:, start:start + size]
+        if pad:
+            pp = jnp.pad(pp, ((0, 0), (0, pad), (0, 0)))
+            ph = jnp.pad(ph, ((0, 0), (0, pad), (0, 0)))
+        h = _render_polar_jit(pd, bsp, uep, cfg, pp, ph)
+        try:
+            h.copy_to_host_async()
+        except Exception:
+            pass
+        inflight.append((idx, size, h))
+        if len(inflight) >= 2:
+            collect(inflight.pop(0))
+    for entry in inflight:
+        collect(entry)
+    return np.concatenate(chunks, axis=1)
 
 
 def _render_streamed(path_data: PathData, bs_panel, ue_panel, cfg,

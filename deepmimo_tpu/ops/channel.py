@@ -350,7 +350,8 @@ def _fused_render_eligible(cfg: ChannelConfig) -> bool:
         return False
     return pick_user_tile(0, cfg.ue_shape, cfg.bs_shape, cfg.num_paths,
                           len(cfg.selected_subcarriers),
-                          _fused_n_snap(cfg)) > 0
+                          _fused_n_snap(cfg),
+                          mm_dtype=cfg.matmul_dtype) > 0
 
 
 def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
@@ -410,7 +411,8 @@ def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
 
     n_k = len(cfg.selected_subcarriers)
     ut = pick_user_tile(u, cfg.ue_shape, cfg.bs_shape,
-                        cfg.num_paths, n_k, n_s)
+                        cfg.num_paths, n_k, n_s,
+                        mm_dtype=cfg.matmul_dtype)
     interpret = jax.default_backend() == "cpu"
     packed = _packed_layout(cfg)
     sh = lambda x: x.reshape(u, p)
@@ -424,6 +426,187 @@ def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
     if packed:                       # [U, Q, 2*S*K] -> [U, R, T, 2*S*K]
         return h.reshape(u, r, t, 2 * n_s * n_k)
     return h.reshape(2, u, r, t, n_s, n_k)
+
+
+def polar_fused_eligible(cfg: ChannelConfig, n_pol: int = 4) -> bool:
+    """Static: can the four polarizations render in ONE fused dispatch?
+
+    Same gates as :func:`_fused_render_eligible`, with the kernel's
+    snapshot axis carrying n_pol * n_snapshots slots (each polarization
+    rides the axis with its own per-path amplitudes and phases).
+    """
+    from .pallas.render import pick_user_tile
+    if not (cfg.freq_domain and not cfg.rx_filter
+            and cfg.dtype == "complex64" and _k_progression(cfg)):
+        return False
+    return pick_user_tile(0, cfg.ue_shape, cfg.bs_shape, cfg.num_paths,
+                          len(cfg.selected_subcarriers),
+                          n_pol * _fused_n_snap(cfg),
+                          mm_dtype=cfg.matmul_dtype) > 0
+
+
+def _polar_packed_layout(cfg: ChannelConfig, n_pol: int = 4) -> bool:
+    """Static: packed plane layout for the polar render (pol*S*K lanes)."""
+    sk = len(cfg.selected_subcarriers) * _fused_n_snap(cfg) * n_pol
+    return (cfg.planes_layout == "packed" and cfg.freq_domain
+            and sk % 64 == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_channels_planes_polar(paths: PathData, bs: AntennaPanel,
+                                 ue: AntennaPanel, cfg: ChannelConfig,
+                                 pol_power_dbw: jax.Array,
+                                 pol_phase_deg: jax.Array) -> jax.Array:
+    """All polarizations in ONE fused dispatch (dual-polar device path).
+
+    The reference renders {VV, VH, HH, HV} as four independent generator
+    passes (deepmimo_v3/generator/python/generator.py:71-78) — 4x the
+    rotation/FoV/pattern/panel work. Here the polarization axis rides the
+    fused kernel's snapshot axis: rotations, FoV masks, pattern gains,
+    panel phasor recurrences and subcarrier tables are computed ONCE
+    (angles and delays are shared across polarizations — v3 semantics);
+    only the per-path amplitude/phase fold-in differs per polarization
+    via the kernel's per-snapshot amp support.
+
+    Args:
+        paths: shared geometry (angles/delays/Doppler); its own
+            power/phase fields are ignored.
+        pol_power_dbw / pol_phase_deg: [N_pol, U, P] per-polarization
+            power (dBW) and phase (deg) matrices.
+
+    Returns (pol-major on the folded axis, s_total = pol * S + s):
+        packed layout: [U, R, T, 2 * N_pol * S * K] — hr planes for all
+        (pol, s, k) in the first minor half, hi in the second.
+        stacked: [2, U, R, T, N_pol, S, K].
+    Unpack host-side with :func:`unpack_polar_planes_np`.
+    """
+    from .geometry import array_response_phase, rotate_unit_vec
+    from .pallas.render import fused_render, pick_user_tile
+
+    paths = paths.trim_paths(cfg.num_paths)
+    n_pol = pol_power_dbw.shape[0]
+    pol_power_dbw = pol_power_dbw[..., :cfg.num_paths]
+    pol_phase_deg = pol_phase_deg[..., :cfg.num_paths]
+    rd = _rd(cfg)
+    u, p = paths.delay_s.shape
+
+    need_angles = _angles_needed(cfg)
+    if need_angles:
+        aod_theta, aod_phi, aoa_theta, aoa_phi = _rotated_angles(paths, bs,
+                                                                 ue)
+        valid = _fov_valid(cfg, paths.valid, aod_theta, aod_phi,
+                           aoa_theta, aoa_phi)
+        gain_f = (pattern_gain(cfg.bs_pattern, aod_theta, aod_phi) *
+                  pattern_gain(cfg.ue_pattern, aoa_theta,
+                               aoa_phi)).reshape(-1)
+    else:
+        valid = paths.valid
+        gain_f = None
+
+    kd_ue = 2 * jnp.pi * ue.spacing
+    kd_bs = 2 * jnp.pi * bs.spacing
+    if need_angles:
+        _, gry, grz = array_response_phase(aoa_theta, aoa_phi, kd_ue)
+        _, gty, gtz = array_response_phase(aod_theta, aod_phi, kd_bs)
+    else:
+        flat_ok = (jnp.asarray(ue.rotation_deg).ndim == 1 and
+                   jnp.asarray(bs.rotation_deg).ndim == 1)
+        v = (lambda x: x.reshape(-1)) if flat_ok else (lambda x: x)
+        _, ry, rz = rotate_unit_vec(ue.rotation_deg, v(paths.aoa_el_deg),
+                                    v(paths.aoa_az_deg))
+        _, ty, tz = rotate_unit_vec(bs.rotation_deg, v(paths.aod_el_deg),
+                                    v(paths.aod_az_deg))
+        gry, grz = kd_ue * ry, kd_ue * rz
+        gty, gtz = kd_bs * ty, kd_bs * tz
+
+    # Shared per-path scalars (flat [U*P] views — see _render_fused_planes)
+    fl = lambda x: x.reshape(-1)
+    valid_f = fl(valid)
+    z = lambda x: jnp.where(valid_f, fl(x), 0.0).astype(rd)
+    n_fft = cfg.subcarriers
+    delay_f = fl(paths.delay_s)
+    delay_n = delay_f * cfg.bandwidth
+    pvalid = valid_f & (delay_n < n_fft)
+    k0, stride = _k_progression(cfg)
+    omega_base = (2 * jnp.pi / n_fft) * delay_n
+    omega = (omega_base * stride).astype(rd).reshape(u, p)
+
+    snapshots = cfg.doppler_times if cfg.enable_doppler else (0.0,)
+    n_s = len(snapshots)
+    dop_terms = [0.0] * n_s
+    if cfg.enable_doppler and paths.doppler_vel is not None:
+        dop_v, dop_a = fl(paths.doppler_vel), fl(paths.doppler_acc)
+        for i, t_snap in enumerate(snapshots):
+            t = delay_f + t_snap
+            dop_terms[i] = -2 * jnp.pi * cfg.carrier_freq * (
+                dop_v * t / c.LIGHTSPEED +
+                dop_a * (t * t) / (2 * c.LIGHTSPEED))
+
+    # Per-pol amp/psi stacked pol-major on the kernel snapshot axis.
+    # Pol matrices arrive NaN-padded straight from the loader (they skip
+    # PathData.from_numpy's zero-fill), so BOTH amp and psi are masked:
+    # a NaN psi would poison the kernel tables even at amp = 0.
+    amps, psis = [], []
+    for ip in range(n_pol):
+        p_lin = jnp.power(10.0, fl(pol_power_dbw[ip]) / 10.0)
+        if gain_f is not None:
+            p_lin = p_lin * gain_f
+        p_lin = jnp.where(valid_f, p_lin, 0.0)
+        amp_p = jnp.where(pvalid, jnp.sqrt(p_lin / n_fft), 0.0).astype(rd)
+        psi0 = jnp.where(valid_f,
+                         jnp.deg2rad(fl(pol_phase_deg[ip])), 0.0) - \
+            omega_base * k0
+        for s in range(n_s):
+            amps.append(amp_p)
+            psis.append((psi0 + dop_terms[s]).astype(rd))
+    st = n_pol * n_s
+    to_uspp = lambda xs: (jnp.stack(xs).reshape(st, u, p)
+                          .transpose(1, 0, 2).reshape(u, st * p))
+    amp, psi = to_uspp(amps), to_uspp(psis)
+
+    n_k = len(cfg.selected_subcarriers)
+    ut = pick_user_tile(u, cfg.ue_shape, cfg.bs_shape, cfg.num_paths,
+                        n_k, st, mm_dtype=cfg.matmul_dtype)
+    interpret = jax.default_backend() == "cpu"
+    packed = _polar_packed_layout(cfg, n_pol)
+    sh = lambda x: x.reshape(u, p)
+    h = fused_render(sh(z(gry)), sh(z(grz)), sh(z(gty)), sh(z(gtz)),
+                     amp, psi, omega, cfg.ue_shape, cfg.bs_shape, n_k,
+                     user_tile=ut, interpret=interpret,
+                     mm_dtype=cfg.matmul_dtype, packed=packed)
+    r = cfg.ue_shape[0] * cfg.ue_shape[1]
+    t = cfg.bs_shape[0] * cfg.bs_shape[1]
+    if packed:
+        return h.reshape(u, r, t, 2 * st * n_k)
+    return h.reshape(2, u, r, t, n_pol, n_s, n_k)
+
+
+def unpack_polar_planes_np(arr, cfg: ChannelConfig, n_pol: int = 4):
+    """Host-side inverse of :func:`render_channels_planes_polar`.
+
+    Returns [N_pol, U, R, T, K] complex (or [..., K, S] with a trailing
+    time axis for multi-snapshot Doppler), matching the per-polarization
+    output of :func:`render_channels`.
+    """
+    arr = np.asarray(arr)
+    cdt = np.complex64 if arr.dtype == np.float32 else np.complex128
+    n_s = _fused_n_snap(cfg)
+    n_k = len(cfg.selected_subcarriers)
+    if _polar_packed_layout(cfg, n_pol):
+        sk = n_pol * n_s * n_k
+        u, r, t = arr.shape[:3]
+        h = np.empty((u, r, t, sk), dtype=cdt)
+        h.real = arr[..., :sk]
+        h.imag = arr[..., sk:]
+        h = np.moveaxis(h.reshape(u, r, t, n_pol, n_s, n_k), 3, 0)
+    else:
+        h = np.empty(arr.shape[1:], dtype=cdt)       # [U,R,T,NP,S,K]
+        h.real = arr[0]
+        h.imag = arr[1]
+        h = np.moveaxis(h, 3, 0)                     # [NP,U,R,T,S,K]
+    if n_s > 1:
+        return np.moveaxis(h, 4, 5)                  # time axis last
+    return h[:, :, :, :, 0, :] if h.ndim == 6 else h
 
 
 def _path_sum_pallas(cfg: ChannelConfig, arx, atx, powers_lin,

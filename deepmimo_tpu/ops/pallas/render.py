@@ -39,7 +39,14 @@ import os
 from typing import Tuple
 
 # Perf-bisect ablations (trace-time; benchmarks/perf_lanepack.py only).
+# NEVER set in a production process: ablated kernels compute WRONG channels.
 _ABLATE = os.environ.get("DM_RENDER_ABLATE", "")
+if _ABLATE:  # loud, unmissable — guards against leaked env vars
+    import warnings
+    warnings.warn(
+        f"DM_RENDER_ABLATE={_ABLATE!r}: fused_render will produce WRONG "
+        "channel matrices (perf-bisect ablation mode). Unset it for any "
+        "non-benchmark use.", RuntimeWarning, stacklevel=2)
 
 # Lane-packed layout (trace-time; see _grouping). Off by default: the
 # per-residue masked dots contract all 128 lanes, multiplying MXU work by
@@ -48,6 +55,10 @@ _ABLATE = os.environ.get("DM_RENDER_ABLATE", "")
 # legacy 14.5 ms on the 64-ant headline). It wins only when the panel is
 # small (q ~ 1, MXU negligible); enable for experiments via
 # DM_RENDER_LANE_PACK=1 or render.LANE_PACK = True.
+# CAVEAT: read at TRACE time and not part of any jit cache key — toggling
+# after a same-shape render silently reuses the stale traced kernel. Set
+# it before the first render of a process (benchmark entry points only;
+# never in library code).
 LANE_PACK = bool(int(os.environ.get("DM_RENDER_LANE_PACK", "0")))
 
 import jax
@@ -136,10 +147,14 @@ def _reference_impl(gry, grz, gty, gtz, amp, psi, omega,
     """Same math, plain XLA, direct (non-tabled) phases.
 
     psi may carry a folded snapshot axis: [U, S*P] renders S time
-    snapshots stacked along the output k axis -> [U, Q, S*n_k].
+    snapshots stacked along the output k axis -> [U, Q, S*n_k]. amp is
+    [U, P] (snapshot-invariant) or [U, S*P] (per-snapshot — the
+    dual-polarization layout, where each "snapshot" is a polarization
+    with its own amplitudes AND phases).
     """
-    u, p = amp.shape
+    u, p = omega.shape
     n_s = psi.shape[1] // p
+    n_sa = amp.shape[1] // p
     r1, r2 = rx_shape
     t1, t2 = tx_shape
 
@@ -163,8 +178,9 @@ def _reference_impl(gry, grz, gty, gtz, amp, psi, omega,
     ks = jnp.arange(n_k, dtype=amp.dtype)
     base = (psi.reshape(u, n_s, p)[..., None] -
             omega[:, None, :, None] * ks)                  # [u, s, p, k]
-    gr = amp[:, None, :, None] * jnp.cos(base)
-    gi = amp[:, None, :, None] * jnp.sin(base)
+    amp_b = amp.reshape(u, n_sa, p)[..., None]             # bcast if n_sa=1
+    gr = amp_b * jnp.cos(base)
+    gi = amp_b * jnp.sin(base)
 
     # HIGHEST: this is the correctness oracle / VMEM-overflow fallback —
     # a 1-bf16-pass TPU dot here would put ~2^-9 noise in the reference.
@@ -191,6 +207,13 @@ def _dot_mode(mm_dtype: str, dn):
     (measured 5e-6-grade parity) at 3 MXU passes, with the split done
     ONCE per operand outside the residue loop.
     """
+    if mm_dtype not in ("float32", "bfloat16", "highest", "default"):
+        # Fallthrough to DEFAULT would be a SILENT precision downgrade
+        # (1 bf16 pass, ~2^-9 relative) — reject typos loudly instead.
+        raise ValueError(
+            f"matmul_dtype={mm_dtype!r}: expected one of "
+            "'float32' (3-pass hi/lo split, ~2^-17), 'bfloat16'/'default' "
+            "(1 pass, ~2^-9), 'highest' (6 passes)")
     f32 = jnp.float32
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}.get(mm_dtype)
@@ -308,14 +331,17 @@ def _ofdm_tables(cpsi, spsi, com, som, scale, n_k, l1):
     prologue, not in Mosaic (see _phasor_stack). The snapshot axis of psi
     rides the k axis (tables are snapshot-invariant). ``scale=None``
     gives the unit-amplitude planes (backward kernel); the forward folds
-    amp in here.
+    amp in here. ``scale`` is [ut, n_sa, p] with n_sa in {1, n_s}:
+    broadcast over snapshots (classic Doppler) or per-snapshot (the
+    dual-polarization layout: each snapshot slot is a polarization with
+    its own amplitudes).
     """
     ut, n_s, p = cpsi.shape
     l2 = n_k // l1
     cr, ci = cpsi, spsi
     if scale is not None:
-        cr = scale[:, None, :] * cr
-        ci = scale[:, None, :] * ci
+        cr = scale * cr            # [ut, n_sa, p] bcasts against [ut, n_s, p]
+        ci = scale * ci
     # Fine table exp(-j k1 w), k1 < l1, and coarse table exp(-j k2 l1 w):
     # the coarse base cos/sin(l1*w) comes from log2(l1) double-angle steps
     # (_best_l1 only returns powers of two).
@@ -344,7 +370,7 @@ def _kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
             som_ref, h_ref, *, rx_shape, tx_shape, n_k, l1, mm_dtype,
             packed, group=1, n_paths=0):
     f32 = jnp.float32
-    amp = amp_ref[:]
+    amp = amp_ref[:]                     # [ug, n_sa, lanes], n_sa in {1, n_s}
     ug = amp.shape[0]                    # rows per block (= user_tile / group)
     n_s = cpsi_ref.shape[1]
 
@@ -416,18 +442,22 @@ def _kernel_norx(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, amp_ref, cpsi_ref,
 
 
 def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
-                  n_k: int, n_s: int = 1) -> int:
+                  n_k: int, n_s: int = 1,
+                  mm_dtype: str = "float32") -> int:
     """Rough VMEM bytes for one tile (padded to (8, 128) f32 tiles).
 
     Lane-packed layout: per-path stages run on [ug, rows, 128] arrays
     with ug = user_tile / group rows; the dot output and H tile stay
-    per-user sized.
+    per-user sized. ``mm_dtype='float32'`` adds the hi/lo bf16 operand
+    copies _dot_mode's 3-pass split materializes (2 bf16 arrays per
+    operand = one extra f32-sized copy each of e2 and g2) plus one live
+    f32 dot partial — the terms whose omission caused the round-3
+    scoped-VMEM compile regression.
     """
     g = _grouping(p)
     ug = max(1, user_tile // g)
     lanes = 128 if g > 1 else _ceil_to(p, 128)
     vm = lambda rows: ug * _ceil_to(max(rows, 1), 8) * lanes * 4
-    pad = lambda a, b: _ceil_to(max(a, 1), 8) * _ceil_to(max(b, 1), 128) * 4
     r = rx_shape[0] * rx_shape[1]
     t = tx_shape[0] * tx_shape[1]
     q = r * t
@@ -443,17 +473,39 @@ def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
         4 * vm(q) +                              # er/ei + e2 concat
         2 * (vm(l1) + vm(l2)) + 2 * n_s * vm(l2) +  # subcarrier tables
         4 * vm(sk) +                             # gr/gi + g2 concat
+        # hi/lo bf16 splits: 2 bf16 copies per operand = 1 f32-equivalent
+        ((vm(2 * q) + vm(2 * sk)) if mm_dtype == "float32" else 0) +
         # per-residue masked operand copies (lane-packed mode only)
         (2 * vm(min(2 * q, 2 * sk)) if g > 1 else 0)
     )
     dot_out = ug * (_ceil_to(2 * q, 8) + _ceil_to(q, 8)) * \
         _ceil_to(2 * sk, 128) * 4                # m + rolled (per residue)
+    if mm_dtype == "float32":                    # one live 3-pass partial
+        dot_out += ug * _ceil_to(2 * q, 8) * _ceil_to(2 * sk, 128) * 4
     h_tile = 2 * user_tile * _ceil_to(q, 8) * _ceil_to(2 * sk, 128) * 4
     return per_path + dot_out + h_tile
 
 
+def _compiler_params(est: int):
+    """Scoped-VMEM limit for a pallas_call, sized from the tile estimate.
+
+    Mosaic's default scoped-vmem limit is 16 MiB; the f32 3-pass hi/lo
+    dots (and the lane-masked operand copies) exceed it at production
+    tiles — the round-3 regression was exactly this limit left at its
+    default on the default path (BENCH_r03 rc=124, "Scoped allocation
+    43.71M exceeded 16.00M"). Block buffers are accounted separately by
+    Mosaic, so the whole-tile estimate is a safe upper bound for the
+    scoped portion; floor 64 MiB, cap 112 MiB (< the 128 MiB physical
+    VMEM, leaving double-buffering headroom). Passed UNCONDITIONALLY for
+    every non-interpret call — never gated on a layout flag.
+    """
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(112 * 2**20, max(64 * 2**20, est))))
+
+
 def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
-                   n_s: int = 1, budget: int = 80 * 2**20) -> int:
+                   n_s: int = 1, budget: int = 80 * 2**20,
+                   mm_dtype: str = "float32") -> int:
     """Largest tile under the VMEM budget (0 = does not fit; u is padded
     up to a tile multiple by the caller, so no divisibility constraint).
 
@@ -464,7 +516,8 @@ def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
     g = _grouping(p)
     for ug in (128, 64, 32, 16, 8):
         ut = g * ug
-        if vmem_estimate(ut, rx_shape, tx_shape, p, n_k, n_s) <= budget:
+        if vmem_estimate(ut, rx_shape, tx_shape, p, n_k, n_s,
+                         mm_dtype) <= budget:
             return ut
     return 0
 
@@ -512,9 +565,11 @@ def _bwd_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
     traffic: one read of ct + P-sized gradient writes.
     """
     f32 = jnp.float32
-    amp = amp_ref[:]
+    amp = amp_ref[:]                     # [ug, n_sa, lanes], n_sa in {1, n_s}
     ug = amp.shape[0]                    # rows per block (= user_tile / group)
     n_s = cpsi_ref.shape[1]
+    n_sa = amp.shape[1]
+    lanes = amp.shape[2]
     r1, r2 = rx_shape
     t1, t2 = tx_shape
     r, t = r1 * r2, t1 * t2
@@ -526,6 +581,15 @@ def _bwd_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
         rx_shape, tx_shape)
     cb_, sb_ = _ofdm_tables(cpsi_ref[:], spsi_ref[:], com_ref[:],
                             som_ref[:], None, n_k, l1)     # [ug, sk, L]
+    # amp broadcast over subcarriers -> [ug, sk, L]. With per-snapshot amp
+    # (n_sa == n_s, the dual-polar layout) amp no longer factors out of
+    # the sk-contraction, so the dE dots take AMP-SCALED gain planes and
+    # the old post-dot `amp * der` multiply is gone (equivalent at
+    # n_sa == 1: the scale commutes through the dot).
+    amp_sk = jnp.broadcast_to(amp[:, :, None, :],
+                              (ug, n_s, n_k, lanes)).reshape(ug, sk, lanes)
+    cbs = amp_sk * cb_
+    sbs = amp_sk * sb_
 
     dn_sk = (((2,), (1,)), ((0,), (0,)))    # [ug,q,sk] x [ug,sk,L]
     dn_q = (((1,), (1,)), ((0,), (0,)))     # [ug,q,sk] x [ug,q,L]
@@ -546,8 +610,8 @@ def _bwd_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
     if packed:
         # ct [ut, q, 2sk], hr in the first minor half. Concats/slices
         # stay on sublane axes (lane-axis ops would force relayouts).
-        g2a = prep_sk(jnp.concatenate((cb_, sb_), axis=1))  # [ug, 2sk, L]
-        g2b = prep_sk(jnp.concatenate((-sb_, cb_), axis=1))
+        g2a = prep_sk(jnp.concatenate((cbs, sbs), axis=1))  # [ug, 2sk, L]
+        g2b = prep_sk(jnp.concatenate((-sbs, cbs), axis=1))
         erc, eic = prep_q(er), prep_q(ei)
         der = dei = a2 = b2 = 0.0
         for res in range(group):
@@ -557,12 +621,10 @@ def _bwd_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
             dei = dei + lane_sel(res, dot_sk(ctp, g2b))
             a2 = a2 + lane_sel(res, dot_q(ctp, erc))        # [ug, 2sk, L]
             b2 = b2 + lane_sel(res, dot_q(ctp, eic))
-        der = amp[:, None, :] * der
-        dei = amp[:, None, :] * dei
         dgr = a2[:, :sk, :] + b2[:, sk:, :]
         dgi = a2[:, sk:, :] - b2[:, :sk, :]
     else:
-        cbc, sbc = prep_sk(cb_), prep_sk(sb_)
+        cbc, sbc = prep_sk(cbs), prep_sk(sbs)
         erc, eic = prep_q(er), prep_q(ei)
         der = dei = dgr = dgi = 0.0
         for res in range(group):
@@ -573,13 +635,14 @@ def _bwd_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
             dei = dei + lane_sel(res, dot_sk(cti, cbc) - dot_sk(ctr, sbc))
             dgr = dgr + lane_sel(res, dot_q(ctr, erc) + dot_q(cti, eic))
             dgi = dgi + lane_sel(res, dot_q(cti, erc) - dot_q(ctr, eic))
-        der = amp[:, None, :] * der
-        dei = amp[:, None, :] * dei
 
     # --- gain-side chain: g = amp * exp(j base), base = psi_s - omega*k ---
-    lanes = amp.shape[1]
-    damp_ref[:] = (dgr * cb_ + dgi * sb_).sum(axis=1)
-    w = amp[:, None, :] * (cb_ * dgi - sb_ * dgr)          # dL/dbase
+    dval = (dgr * cb_ + dgi * sb_).reshape(ug, n_s, n_k, lanes)
+    if n_sa == n_s:
+        damp_ref[:] = dval.sum(axis=2)                     # [ug, n_s, L]
+    else:
+        damp_ref[:] = dval.sum(axis=(1, 2))[:, None, :]    # [ug, 1, L]
+    w = amp_sk * (cb_ * dgi - sb_ * dgr)                   # dL/dbase
     wv = w.reshape(ug, n_s, n_k, lanes)
     dpsi_ref[:] = wv.sum(axis=2)                           # [ug, n_s, L]
     kk = jax.lax.broadcasted_iota(jnp.int32, wv.shape, 2).astype(f32)
@@ -618,7 +681,8 @@ def _bwd_kernel_norx(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, amp_ref,
 
 
 def vmem_estimate_bwd(user_tile: int, rx_shape, tx_shape, p: int,
-                      n_k: int, n_s: int = 1) -> int:
+                      n_k: int, n_s: int = 1,
+                      mm_dtype: str = "float32") -> int:
     """Rough VMEM bytes for one backward tile (f32, (8, 128) padding).
 
     Lane-packed like the forward: per-path intermediates have
@@ -644,27 +708,38 @@ def vmem_estimate_bwd(user_tile: int, rx_shape, tx_shape, p: int,
         3 * vm(sk) +                       # w + iota-weighted
         4 * vm(q) + 4 * vm(t) + 4 * vm(r) +  # E-side chain
         # per-residue dot temporaries (masked copies)
-        2 * vm(max(q, 2 * sk))
+        2 * vm(max(q, 2 * sk)) +
+        # hi/lo bf16 splits of ct + the 4 prepared operands (f32-equiv)
+        ((vm(2 * sk) + 2 * vm(q) + 2 * vm(2 * sk) +
+          user_tile * _ceil_to(q, 8) * _ceil_to(2 * sk, 128) * 4)
+         if mm_dtype == "float32" else 0)
     )
-    ct_tile = 2 * user_tile * _ceil_to(q, 8) * _ceil_to(2 * sk, 128) * 4
+    # Cotangent tile counted ONCE: packed ct is [ut, q, 2sk]; stacked is
+    # [2, ut, q, sk] — identical bytes since sk is lane-aligned. (The old
+    # leading 2x here double-counted it and shrank backward tiles /
+    # forced the 3x-slower XLA VJP on fitting workloads — ADVICE r2 #1.)
+    ct_tile = user_tile * _ceil_to(q, 8) * _ceil_to(2 * sk, 128) * 4
     return per_path + ct_tile + 8 * ug * 128 * 4
 
 
 def pick_user_tile_bwd(rx_shape, tx_shape, p: int, n_k: int,
-                       n_s: int = 1, budget: int = 64 * 2**20) -> int:
+                       n_s: int = 1, budget: int = 64 * 2**20,
+                       mm_dtype: str = "float32") -> int:
     """Largest backward tile under the VMEM budget (0 = does not fit)."""
     g = _grouping(p)
     for ug in (64, 32, 16, 8):
         ut = g * ug
-        if vmem_estimate_bwd(ut, rx_shape, tx_shape, p, n_k, n_s) <= budget:
+        if vmem_estimate_bwd(ut, rx_shape, tx_shape, p, n_k, n_s,
+                             mm_dtype) <= budget:
             return ut
     return 0
 
 
 def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
               n_k, user_tile, interpret, mm_dtype, packed):
-    u, p = amp.shape
+    u, p = omega.shape
     n_s = psi.shape[1] // p
+    n_sa = amp.shape[1] // p                   # 1 or n_s (per-snapshot amp)
     q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
     sk = n_s * n_k
     g = _grouping(p)
@@ -690,6 +765,8 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
                            memory_space=pltpu.VMEM)
     spec_psi = pl.BlockSpec((ug, n_s, lanes), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    spec_amp = pl.BlockSpec((ug, n_sa, lanes), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     if packed:
         spec_ct = pl.BlockSpec((user_tile, q, 2 * sk), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -698,31 +775,34 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
                                memory_space=pltpu.VMEM)
     f32 = jnp.float32
     rows = nb * ug
-    out_shapes = tuple([jax.ShapeDtypeStruct((rows, lanes), f32)] * 5 +
-                       [jax.ShapeDtypeStruct((rows, n_s, lanes), f32),
+    out_shapes = tuple([jax.ShapeDtypeStruct((rows, lanes), f32)] * 4 +
+                       [jax.ShapeDtypeStruct((rows, n_sa, lanes), f32),
+                        jax.ShapeDtypeStruct((rows, n_s, lanes), f32),
                         jax.ShapeDtypeStruct((rows, lanes), f32)])
-    out_specs = tuple([spec_up] * 5 + [spec_psi, spec_up])
+    out_specs = tuple([spec_up] * 4 + [spec_amp, spec_psi, spec_up])
     kern = functools.partial(_bwd_kernel_norx if skip_rx else _bwd_kernel,
                              rx_shape=rx_shape, tx_shape=tx_shape, n_k=n_k,
                              l1=l1, mm_dtype=mm_dtype, packed=packed,
                              group=g, n_paths=p)
-    n_up = 5 if skip_rx else 9
+    n_ph = 4 if skip_rx else 8
     grads = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[spec_up] * n_up + [spec_psi] * 2 + [spec_up] * 2 +
-                 [spec_ct],
+        in_specs=[spec_up] * n_ph + [spec_amp] + [spec_psi] * 2 +
+                 [spec_up] * 2 + [spec_ct],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-        compiler_params=None if (interpret or g == 1) else
-        pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        compiler_params=None if interpret else _compiler_params(
+            vmem_estimate_bwd(user_tile, rx_shape, tx_shape, p, n_k, n_s,
+                              mm_dtype)),
     )(*args, ct)
     if g > 1:
         grads = [_unpack_rows(x, nb, g, ug, p) for x in grads]
     dgry, dgrz, dgty, dgtz, damp, dpsi, domega = [
         x[:u] for x in grads]
-    return (dgry, dgrz, dgty, dgtz, damp, dpsi.reshape(u, n_s * p), domega)
+    return (dgry, dgrz, dgty, dgtz, damp.reshape(u, n_sa * p),
+            dpsi.reshape(u, n_s * p), domega)
 
 
 # ----------------------------------------------------------------------------
@@ -741,7 +821,12 @@ def fused_render(gry, grz, gty, gtz, amp, psi, omega,
         gry/grz: RX wave-vector phase steps kd*sin(theta)sin(phi),
             kd*cos(theta) per path [U, P] (rotated-frame angles).
         gty/gtz: TX equivalents [U, P].
-        amp: per-path linear amplitude, 0 for invalid/over-FFT paths.
+        amp: per-path linear amplitude, 0 for invalid/over-FFT paths
+            [U, P] — or [U, S*P] for per-snapshot amplitudes (the
+            dual-polarization layout: each snapshot slot is a
+            polarization with its own amps AND phases; reference
+            deepmimo_v3/generator/python/generator.py:71-78 renders the
+            four polarizations as four independent passes).
         psi: per-path phase at subcarrier 0 (radians, incl. Doppler and
             the k0 offset fold-in) [U, P] — or [U, S*P] to render S
             Doppler snapshots in one call, stacked along the output k
@@ -783,9 +868,14 @@ def _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx: bool = False):
     touch the RX phasors (E == a_tx, _panel_er_ei r==1 branch), so the 4
     arrays are neither computed nor shipped — ~0.27 GB less kernel input
     DMA per 131k-user chunk.
+
+    amp ships as a 3D [U, n_sa, P] block (n_sa in {1, n_s}) so per-
+    snapshot amplitudes (dual-polarization) use the same BlockSpec shape
+    as psi.
     """
-    u, p = amp.shape
+    u, p = omega.shape
     n_s = psi.shape[1] // p
+    n_sa = amp.shape[1] // p
 
     def cs(x, shape, neg_sin=False):
         xf = x.reshape(-1)
@@ -796,15 +886,16 @@ def _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx: bool = False):
     out = []
     if not skip_rx:
         out += [*cs(gry, (u, p)), *cs(grz, (u, p))]
-    out += [*cs(gty, (u, p)), *cs(gtz, (u, p)), amp,
+    out += [*cs(gty, (u, p)), *cs(gtz, (u, p)), amp.reshape(u, n_sa, p),
             *cs(psi, (u, n_s, p)), *cs(omega, (u, p), neg_sin=True)]
     return out
 
 
 def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
               n_k, user_tile, interpret, mm_dtype="float32", packed=False):
-    u, p = amp.shape
+    u, p = omega.shape
     n_s = psi.shape[1] // p
+    n_sa = amp.shape[1] // p                   # 1 or n_s (per-snapshot amp)
     q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
     g = _grouping(p)
     user_tile = max(g, (user_tile // g) * g)
@@ -834,6 +925,8 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
                            memory_space=pltpu.VMEM)
     spec_psi = pl.BlockSpec((ug, n_s, lanes), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    spec_amp = pl.BlockSpec((ug, n_sa, lanes), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     sk = n_s * n_k
     if packed:
         out_spec = pl.BlockSpec((user_tile, q, 2 * sk), lambda i: (i, 0, 0),
@@ -848,18 +941,21 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
                              rx_shape=rx_shape, tx_shape=tx_shape,
                              n_k=n_k, l1=l1, mm_dtype=mm_dtype,
                              packed=packed, group=g, n_paths=p)
-    n_up = 5 if skip_rx else 9
+    n_ph = 4 if skip_rx else 8
     h = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[spec_up] * n_up + [spec_psi] * 2 + [spec_up] * 2,
+        in_specs=[spec_up] * n_ph + [spec_amp] + [spec_psi] * 2 +
+                 [spec_up] * 2,
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
         # The per-residue masked dots + hi/lo splits live on the Mosaic
-        # scoped-vmem stack; the 16 MiB default OOMs at the largest tiles.
-        compiler_params=None if (interpret or g == 1) else
-        pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        # scoped-vmem stack; the 16 MiB default OOMs at production tiles
+        # on EVERY layout (round-3 regression: this was gated on g > 1).
+        compiler_params=None if interpret else _compiler_params(
+            vmem_estimate(user_tile, rx_shape, tx_shape, p, n_k, n_s,
+                          mm_dtype)),
     )(*args)
     if u_pad == u:
         return h
@@ -886,9 +982,11 @@ def _bwd_xla(rx_shape, tx_shape, n_k, packed, res, ct):
 
 def _bwd(rx_shape, tx_shape, n_k, user_tile, interpret, mm_dtype, packed,
          res, ct):
-    amp, psi = res[4], res[5]
-    n_s = psi.shape[1] // amp.shape[1]
-    ut = pick_user_tile_bwd(rx_shape, tx_shape, amp.shape[1], n_k, n_s)
+    psi, omega = res[5], res[6]
+    p = omega.shape[1]
+    n_s = psi.shape[1] // p
+    ut = pick_user_tile_bwd(rx_shape, tx_shape, p, n_k, n_s,
+                            mm_dtype=mm_dtype)
     if not _PALLAS_OK or ut == 0:
         return _bwd_xla(rx_shape, tx_shape, n_k, packed, res, ct)
     return _bwd_impl(*res, ct, rx_shape, tx_shape, n_k, ut, interpret,

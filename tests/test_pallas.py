@@ -365,5 +365,61 @@ def test_fused_render_lane_packed_matches_reference():
             scale = float(jnp.abs(b).max()) + 1e-12
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3e-4 * scale)
+
+        # Packed (hr||hi)-layout backward under lane-packing (the
+        # per-residue ct row slices + masked dots path).
+        def loss_pk(a):
+            h = R.fused_render(*a, (1, 1), (4, 4), 8, 10, True,
+                               "float32", True)
+            return jnp.sum(h ** 2)
+
+        def loss_pk_ref(a):
+            hr, hi = R._reference_impl(*a, (1, 1), (4, 4), 8)
+            return jnp.sum(hr ** 2 + hi ** 2)
+
+        g3 = jax.grad(loss_pk)(args)
+        g4 = jax.grad(loss_pk_ref)(args)
+        for a, b in zip(g3, g4):
+            scale = float(jnp.abs(b).max()) + 1e-12
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4 * scale)
     finally:
         R.LANE_PACK = old
+
+
+def test_fused_render_per_snapshot_amp():
+    """amp [U, S*P] (dual-polar layout): fwd + both backward layouts.
+
+    Each snapshot slot carries its OWN amplitudes (a polarization), so
+    amp no longer factors out of the subcarrier contraction — exercises
+    the amp-scaled dE operands in the backward kernel.
+    """
+    from deepmimo_tpu.ops.pallas import render as R
+
+    rng = np.random.RandomState(5)
+    U, P, K, S = 16, 7, 16, 4
+    mk = lambda lo, hi, *s: jnp.asarray(rng.uniform(lo, hi, s), jnp.float32)
+    for rx_shape, tx_shape in [((1, 1), (4, 4)), ((2, 1), (2, 2))]:
+        args = (mk(-3, 3, U, P), mk(-3, 3, U, P),
+                mk(-3, 3, U, P), mk(-3, 3, U, P),
+                mk(0, 1e-3, U, S * P),          # per-snapshot amp
+                mk(-3, 3, U, S * P), mk(0, 6, U, P))
+        q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
+        ref = R._reference_impl(*args, rx_shape, tx_shape, K)
+        out = R.fused_render(*args, rx_shape, tx_shape, K, 8, True)
+        assert out[0].shape == (U, q, S * K)
+        for a, b in zip(ref, out):
+            scale = float(jnp.abs(a).max())
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=3e-5 * scale)
+        for packed in (False, True):
+            ct = (mk(-1, 1, U, q, 2 * S * K) if packed
+                  else mk(-1, 1, 2, U, q, S * K))
+            g_pal = R._bwd_impl(*args, ct, rx_shape, tx_shape, K, 8, True,
+                                "float32", packed)
+            g_ref = R._bwd_xla(rx_shape, tx_shape, K, packed, args, ct)
+            assert g_pal[4].shape == (U, S * P)   # damp per-snapshot
+            for a, b in zip(g_pal, g_ref):
+                scale = float(jnp.abs(b).max()) + 1e-12
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=3e-4 * scale)
