@@ -84,7 +84,7 @@ def main():
     # --- TPU render through the product API (device planes) ---
     log("warm-up render (compiles)...")
     h = ds.compute_channels(params, to_device=True)
-    float(jax.device_get(h[-1, 0, -1, -1]))
+    float(jax.device_get(jax.numpy.ravel(h)[-1]))
     tiny = jax.numpy.ones((8, 128))
     f_tiny = jax.jit(lambda x: jax.numpy.sum(x * 1.000001))
     float(jax.device_get(f_tiny(tiny)))
@@ -94,7 +94,7 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         h = ds.compute_channels(params, to_device=True, out=h)
-        float(jax.device_get(h[-1, 0, -1, -1]))
+        float(jax.device_get(jax.numpy.ravel(h)[-1]))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     dt = max(best - t_rt, 1e-9)
