@@ -1,4 +1,9 @@
-"""Bisect the lane-packed kernel: pack transpose vs masks vs dots/stores.
+"""ARCHIVED (round 3): probes the OLD full-width masked-dot lane
+packing, superseded by the default 32-aligned sliced layout (see
+perf_pack32.py / perf_pack32c.py). Kept for the measurement record; the
+module APIs it pokes (_grouping -> int, LANE_PACK) no longer exist.
+
+Bisect the lane-packed kernel: pack transpose vs masks vs dots/stores.
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site timeout 570 \
           python -u benchmarks/perf_lanepack.py
@@ -25,6 +30,7 @@ def log(msg):
 
 
 def main():
+    raise SystemExit("archived: see perf_pack32*.py (layout superseded)")
     import jax
     import jax.numpy as jnp
     import deepmimo_tpu.ops.pallas.render as R

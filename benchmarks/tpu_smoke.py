@@ -68,19 +68,23 @@ def run_variants(tag=""):
                 mk(u, n_s * p), jnp.abs(mk(u, p)) * 0.1)  # psi omega
         t0 = time.time()
         try:
+            # jit the whole variant: ONE remote compile per variant —
+            # eager dispatch compiles every prologue op separately over
+            # the relay (measured 30+ min for one variant cold).
             if bwd:
                 f = lambda *a: fused_render(
-                    *a, rx, tx, n_k, user_tile=ut, interpret=interpret,
-                    mm_dtype="float32", packed=packed).sum()
-                grads = jax.grad(f, argnums=tuple(range(7)))(*args)
+                    *a, rx, tx, n_k, ut, interpret, "float32",
+                    packed).sum()
+                g_fn = jax.jit(jax.grad(f, argnums=tuple(range(7))))
+                grads = g_fn(*args)
                 bad = [i for i, g in enumerate(grads)
                        if not bool(jnp.isfinite(g).all())]
                 ok = not bad
                 detail = f"nonfinite grads at {bad}" if bad else ""
             else:
-                h = fused_render(*args, rx, tx, n_k, user_tile=ut,
-                                 interpret=interpret,
-                                 mm_dtype="float32", packed=packed)
+                f_fwd = jax.jit(lambda *a: fused_render(
+                    *a, rx, tx, n_k, ut, interpret, "float32", packed))
+                h = f_fwd(*args)
                 ok = bool(jnp.isfinite(h).all())
                 detail = "" if ok else "nonfinite output"
             dt = time.time() - t0
@@ -103,16 +107,17 @@ def main():
               flush=True)
         return 2
     failures = run_variants()
-    # Lane-packed layout: trace-time module global; safe to flip here
-    # because the smoke calls fused_render directly and the packed row
-    # shapes force fresh traces (a SECOND process would pay the remote-
-    # compile cold start again — measured ~16 min).
+    # Legacy no-pack layout (the DM_RENDER_NO_PACK debug fallback):
+    # trace-time module global; safe to flip here because the smoke calls
+    # fused_render directly and the changed row shapes force fresh traces
+    # (a SECOND process would pay the remote-compile cold start again —
+    # measured ~16 min).
     from deepmimo_tpu.ops.pallas import render as R
-    R.LANE_PACK = True
+    R.NO_PACK = True
     try:
-        failures += run_variants(tag=":lanepack")
+        failures += run_variants(tag=":nopack")
     finally:
-        R.LANE_PACK = False
+        R.NO_PACK = False
     if failures:
         print(f"[smoke] FAIL: {failures}", flush=True)
         return 1

@@ -48,18 +48,14 @@ if _ABLATE:  # loud, unmissable — guards against leaked env vars
         "channel matrices (perf-bisect ablation mode). Unset it for any "
         "non-benchmark use.", RuntimeWarning, stacklevel=2)
 
-# Lane-packed layout (trace-time; see _grouping). Off by default: the
-# per-residue masked dots contract all 128 lanes, multiplying MXU work by
-# group*128/ceil(P,32) (~4x at P=25) — measured to cancel the VPU/DMA
-# savings on MIMO panels (benchmarks/perf_lanepack.py: packed 22.3 ms vs
-# legacy 14.5 ms on the 64-ant headline). It wins only when the panel is
-# small (q ~ 1, MXU negligible); enable for experiments via
-# DM_RENDER_LANE_PACK=1 or render.LANE_PACK = True.
-# CAVEAT: read at TRACE time and not part of any jit cache key — toggling
-# after a same-shape render silently reuses the stale traced kernel. Set
-# it before the first render of a process (benchmark entry points only;
-# never in library code).
-LANE_PACK = bool(int(os.environ.get("DM_RENDER_LANE_PACK", "0")))
+# Debug escape hatch: DM_RENDER_NO_PACK=1 (or render.NO_PACK = True
+# before the first trace) disables the 32-aligned user packing and falls
+# back to the legacy one-user-per-row layout. Packing is the DEFAULT:
+# measured 7.86 ms vs 20.4 ms per 131k-user chunk on the headline config
+# (benchmarks/perf_pack32.py / perf_pack32c.py, same-run comparison).
+# CAVEAT: read at TRACE time and not part of any jit cache key — toggle
+# only at process start (tests/benchmarks).
+NO_PACK = bool(int(os.environ.get("DM_RENDER_NO_PACK", "0")))
 
 import jax
 import jax.numpy as jnp
@@ -87,55 +83,59 @@ def _best_l1(k: int) -> int:
     return best
 
 
-def _grouping(p: int) -> int:
-    """Users per 128-lane group (lane-packed layout).
+def _grouping(p: int) -> Tuple[int, int]:
+    """(group, pp): users per 128-lane group, per-user padded path lanes.
 
     A [U, P] f32 per-path array is (8, 128)-tile padded on TPU: at P = 25
     every VPU pass and every HBM byte of kernel input pays a 5.1x tax.
-    Packing G = 128 // P users' paths onto one 128-lane group makes every
-    per-path stage (recurrences, panel build, subcarrier tables) and the
-    kernel input DMA dense (benchmarks/SOL.md, the round-2 deferred
-    'structural fix'). The MXU path-sum becomes G per-residue dots with a
-    lane mask on the smaller operand. CAVEAT (why this is opt-in, see
-    LANE_PACK): each residue dot contracts the full 128 lanes while the
-    legacy layout's dot contracts only ceil(P, 32) — the packed MXU work
-    is group*128/ceil(P, 32) (~4x at P=25) of legacy's, which outweighs
-    the VPU/DMA savings whenever the panel product q = R*T is large.
+    Packing G = 128 // pp users (pp = ceil(P, 32)) onto one 128-lane
+    group makes every per-path stage (recurrences, panel build,
+    subcarrier tables) and the kernel input DMA dense. The path-sum dot
+    SLICES each residue's 32-aligned lane block (a cheap extract — no
+    masks) and contracts pp lanes, exactly the legacy MXU cost. This is
+    the fix for the round-3 lane-pack experiment, whose full-width
+    masked dots cost 4x MXU (benchmarks/perf_lanepack.py 22.3 ms vs
+    legacy 14.5 ms); the sliced layout measures 7.9 ms vs legacy 20.4 ms
+    on the 131k-user headline (benchmarks/perf_pack32.py, perf_pack32c).
+    P > 64 (pp > 64) falls back to the legacy one-user-per-row layout
+    (group = 1, lanes = ceil(P, 128)).
     """
-    if not LANE_PACK:
-        return 1
-    return max(1, 128 // max(p, 1))
+    if NO_PACK:
+        return 1, _ceil_to(max(p, 1), 128)
+    pp = _ceil_to(max(p, 1), 32)
+    if pp <= 64:
+        return 128 // pp, pp
+    return 1, _ceil_to(p, 128)
 
 
-def _pack_rows(x, nb: int, g: int, ug: int):
-    """[nb*g*ug, *mid, P] -> lane-packed [nb*ug, *mid, 128].
+def _pack_rows(x, nb: int, g: int, ug: int, pp: int):
+    """[nb*g*ug, *mid, P] -> lane-packed [nb*ug, *mid, g*pp(=128)].
 
     Tile b holds users [b*g*ug, (b+1)*g*ug); within the tile, row j lane
-    (r*P + p) is user b*g*ug + r*ug + j, path p — residue-r users are
+    (r*pp + p) is user b*g*ug + r*ug + j, path p — residue-r users are
     CONTIGUOUS rows [r*ug, (r+1)*ug) of the OUTPUT tile, so the kernel's
     per-residue results store as static row slices in global user order.
-    Lanes are explicitly zero-padded to 128 so kernel register pads hold
+    Each user's block is zero-padded P -> pp so kernel register pads hold
     exact zeros (amp = 0 there => zero gain planes, no NaN/Inf leakage
-    into the masked dots).
+    into the path-sum dots).
     """
     p = x.shape[-1]
+    if p < pp:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pp - p)])
     mid = x.shape[1:-1]
-    y = x.reshape((nb, g, ug) + mid + (p,))
+    y = x.reshape((nb, g, ug) + mid + (pp,))
     perm = (0, 2) + tuple(range(3, 3 + len(mid))) + (1, 3 + len(mid))
-    y = y.transpose(perm).reshape((nb * ug,) + mid + (g * p,))
-    if g * p < 128:
-        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, 128 - g * p)])
-    return y
+    return y.transpose(perm).reshape((nb * ug,) + mid + (g * pp,))
 
 
-def _unpack_rows(y, nb: int, g: int, ug: int, p: int):
-    """Inverse of :func:`_pack_rows`: [nb*ug, *mid, 128] -> [nb*g*ug, *mid, P]."""
-    y = y[..., :g * p]
+def _unpack_rows(y, nb: int, g: int, ug: int, pp: int, p: int):
+    """Inverse of :func:`_pack_rows`: [nb*ug, *mid, g*pp] -> [.., P]."""
     mid = y.shape[1:-1]
-    z = y.reshape((nb, ug) + mid + (g, p))
+    z = y.reshape((nb, ug) + mid + (g, pp))
     perm = (0, 2 + len(mid), 1) + tuple(range(2, 2 + len(mid))) + \
         (3 + len(mid),)
-    return z.transpose(perm).reshape((nb * g * ug,) + mid + (p,))
+    z = z.transpose(perm).reshape((nb * g * ug,) + mid + (pp,))
+    return z[..., :p]
 
 
 # ----------------------------------------------------------------------------
@@ -233,9 +233,62 @@ def _dot_mode(mm_dtype: str, dn):
     return (lambda x: (x,)), (lambda a, b: base(a[0], b[0]))
 
 
-def _mask_op(sel, a):
-    """Lane-mask every component of a prepared operand tuple."""
-    return tuple(jnp.where(sel, c, jnp.zeros_like(c)) for c in a)
+def _slice_dot_mode(mm_dtype: str, dn, pp: int):
+    """Per-residue sliced MXU dot for the packed layout.
+
+    Returns ``(split(x) -> parts, dot_at(a_parts, b_parts, lane_lo))``.
+    Each residue contracts ONLY its own pp-lane block via a 32-aligned
+    lane slice — no masks, no full-width contractions (the round-3
+    lane-pack mistake). "float32" fuses the hi/lo 3-term sum
+    (hi.hi + hi.lo + lo.hi) into ceil(3*pp/128) dots by CONCATENATING
+    the bf16 halves along the contraction axis: at pp = 32 that is ONE
+    96-lane dot — f32-grade accuracy (measured 1.9e-7 relative,
+    benchmarks/perf_pack32c.py) at the MXU pass count of a bf16 dot
+    (11.2 -> 7.9 ms on the 131k-user headline chunk).
+    """
+    f32 = jnp.float32
+    if mm_dtype not in ("float32", "bfloat16", "highest", "default"):
+        raise ValueError(
+            f"matmul_dtype={mm_dtype!r}: expected one of 'float32', "
+            "'bfloat16', 'highest', 'default'")
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}.get(mm_dtype)
+    base = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                             preferred_element_type=f32, precision=prec)
+    if mm_dtype == "float32":
+        def split(x):
+            hi = x.astype(jnp.bfloat16)
+            return hi, (x - hi.astype(f32)).astype(jnp.bfloat16)
+
+        terms = ((0, 0), (0, 1), (1, 0))       # (a_half, b_half) pairs
+        per_dot = max(1, 128 // pp)
+
+        def dot_at(a, b, lo):
+            sl = lambda x: x[..., lo:lo + pp]
+            out = None
+            for i in range(0, len(terms), per_dot):
+                chunk = terms[i:i + per_dot]
+                if len(chunk) > 1:
+                    lhs = jnp.concatenate([sl(a[ia]) for ia, _ in chunk],
+                                          axis=-1)
+                    rhs = jnp.concatenate([sl(b[ib]) for _, ib in chunk],
+                                          axis=-1)
+                else:
+                    (ia, ib), = chunk
+                    lhs, rhs = sl(a[ia]), sl(b[ib])
+                m = base(lhs, rhs)
+                out = m if out is None else out + m
+            return out
+        return split, dot_at
+
+    if mm_dtype == "bfloat16":
+        split = lambda x: (x.astype(jnp.bfloat16),)
+    else:
+        split = lambda x: (x,)
+
+    def dot_at(a, b, lo):
+        return base(a[0][..., lo:lo + pp], b[0][..., lo:lo + pp])
+    return split, dot_at
 
 def _phasor_powers(c1, s1, m: int):
     """(cos(m'x), sin(m'x)) for m'=0..m-1 from ONE base sincos pair.
@@ -386,30 +439,24 @@ def _kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
     q = r * t
     sk = n_s * n_k
     dn = (((2,), (2,)), ((0,), (0,)))
-    prep, dot = _dot_mode(mm_dtype, dn)
     # Full-height operands: ONE 2q-row dot per residue — two q-row dots
     # measured ~2x slower (half-empty MXU passes).
-    e2 = prep(jnp.concatenate((er, ei), axis=1))    # [ug, 2q, L]
-    g2 = prep(jnp.concatenate((gr, gi), axis=1))    # [ug, 2sk, L]
+    e2 = jnp.concatenate((er, ei), axis=1)          # [ug, 2q, L]
+    g2 = jnp.concatenate((gr, gi), axis=1)          # [ug, 2sk, L]
 
-    # Lane-packed layout (group > 1): lanes hold (user-residue, path)
-    # pairs; each residue r contracts only its own lanes by masking the
-    # smaller operand (pad lanes >= group*n_paths carry amp = 0 gains, so
-    # they never need masking on the g2 side).
-    mask_e = 2 * q <= 2 * sk
-    if group > 1:
-        lane = jax.lax.broadcasted_iota(
-            jnp.int32, (e2 if mask_e else g2)[0].shape, 2)
+    if group == 1:
+        prep, dot = _dot_mode(mm_dtype, dn)
+        e2p, g2p = prep(e2), prep(g2)
+    else:
+        # Packed layout: lanes hold (user-residue, path) pairs; residue r
+        # contracts ONLY its 32-aligned pp-lane block via a slice
+        # (n_paths here is the padded per-user block width pp).
+        split, dot_at = _slice_dot_mode(mm_dtype, dn, n_paths)
+        ea, ga = split(e2), split(g2)
 
     n_res = 1 if "oneres" in _ABLATE else group
     for res in range(n_res):
-        if group == 1 or "nomask" in _ABLATE:
-            e2r, g2r = e2, g2
-        else:
-            sel = (lane >= res * n_paths) & (lane < (res + 1) * n_paths)
-            e2r = _mask_op(sel, e2) if mask_e else e2
-            g2r = g2 if mask_e else _mask_op(sel, g2)
-        m = dot(e2r, g2r)
+        m = dot(e2p, g2p) if group == 1 else dot_at(ea, ga, res * n_paths)
         rows = slice(res * ug, (res + 1) * ug)
         if packed:
             # Packed (hr||hi)-on-lanes output rows [ug, q, 2sk]: with sk a
@@ -446,17 +493,18 @@ def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
                   mm_dtype: str = "float32") -> int:
     """Rough VMEM bytes for one tile (padded to (8, 128) f32 tiles).
 
-    Lane-packed layout: per-path stages run on [ug, rows, 128] arrays
-    with ug = user_tile / group rows; the dot output and H tile stay
-    per-user sized. ``mm_dtype='float32'`` adds the hi/lo bf16 operand
-    copies _dot_mode's 3-pass split materializes (2 bf16 arrays per
-    operand = one extra f32-sized copy each of e2 and g2) plus one live
-    f32 dot partial — the terms whose omission caused the round-3
-    scoped-VMEM compile regression.
+    Packed layout (group > 1, the default for P <= 64): per-path stages
+    run on [ug, rows, 128] arrays with ug = user_tile / group rows; the
+    dot output and H tile stay per-user sized. ``mm_dtype='float32'``
+    adds the hi/lo bf16 operand copies (2 bf16 arrays per operand = one
+    extra f32-sized copy each of e2 and g2) plus, in the legacy layout
+    only, one live f32 3-pass dot partial — the terms whose omission
+    caused the round-3 scoped-VMEM compile regression (the packed layout
+    fuses the 3 hi/lo terms into one concat-dot; see _slice_dot_mode).
     """
-    g = _grouping(p)
+    g, pp = _grouping(p)
     ug = max(1, user_tile // g)
-    lanes = 128 if g > 1 else _ceil_to(p, 128)
+    lanes = g * pp if g > 1 else _ceil_to(p, 128)
     vm = lambda rows: ug * _ceil_to(max(rows, 1), 8) * lanes * 4
     r = rx_shape[0] * rx_shape[1]
     t = tx_shape[0] * tx_shape[1]
@@ -475,14 +523,17 @@ def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
         4 * vm(sk) +                             # gr/gi + g2 concat
         # hi/lo bf16 splits: 2 bf16 copies per operand = 1 f32-equivalent
         ((vm(2 * q) + vm(2 * sk)) if mm_dtype == "float32" else 0) +
-        # per-residue masked operand copies (lane-packed mode only)
-        (2 * vm(min(2 * q, 2 * sk)) if g > 1 else 0)
+        # per-residue sliced concat-dot temporaries (bf16, <= 128 lanes)
+        ((vm(2 * q) + vm(2 * sk)) // 2 if g > 1 else 0)
     )
     dot_out = ug * (_ceil_to(2 * q, 8) + _ceil_to(q, 8)) * \
         _ceil_to(2 * sk, 128) * 4                # m + rolled (per residue)
-    if mm_dtype == "float32":                    # one live 3-pass partial
+    if mm_dtype == "float32" and g == 1:         # one live 3-pass partial
         dot_out += ug * _ceil_to(2 * q, 8) * _ceil_to(2 * sk, 128) * 4
-    h_tile = 2 * user_tile * _ceil_to(q, 8) * _ceil_to(2 * sk, 128) * 4
+    # One output tile, actual bytes (packed [ut, q, 2sk] == stacked
+    # [2, ut, q, sk] when sk is lane-aligned); Mosaic's double-buffering
+    # headroom is what the budget margin in pick_user_tile is for.
+    h_tile = user_tile * _ceil_to(q, 8) * _ceil_to(2 * sk, 128) * 4
     return per_path + dot_out + h_tile
 
 
@@ -504,22 +555,30 @@ def _compiler_params(est: int):
 
 
 def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
-                   n_s: int = 1, budget: int = 80 * 2**20,
+                   n_s: int = 1, budget: int = 104 * 2**20,
                    mm_dtype: str = "float32") -> int:
     """Largest tile under the VMEM budget (0 = does not fit; u is padded
     up to a tile multiple by the caller, so no divisibility constraint).
 
-    Budget: v5e has 128 MiB of VMEM; 80 MiB leaves Mosaic headroom for
-    double buffering. Tiles are multiples of the lane-packing group so
-    every residue's rows fill whole sublane granules.
+    Budget: v5e has 128 MiB of VMEM; 104 MiB leaves Mosaic headroom
+    (calibrated so the headline config lands on ut = 512, its measured
+    optimum — 7.86 ms vs 11.2 ms at 256, benchmarks/perf_pack32c.py; the
+    estimate is an overcount, and the scoped-vmem limit passed to the
+    compiler enforces the real ceiling). Tiles are multiples of the
+    lane-packing group so every residue's rows fill whole sublane
+    granules; candidate ug caps at 128 rows (ut = 512 at group 4).
     """
-    g = _grouping(p)
+    g, _pp = _grouping(p)
+    picked = 0
     for ug in (128, 64, 32, 16, 8):
         ut = g * ug
         if vmem_estimate(ut, rx_shape, tx_shape, p, n_k, n_s,
                          mm_dtype) <= budget:
-            return ut
-    return 0
+            if picked == 0:
+                picked = ut            # largest tile that fits
+            if u and ut >= u:
+                picked = ut            # smallest tile still covering u
+    return picked
 
 
 # ----------------------------------------------------------------------------
@@ -688,9 +747,9 @@ def vmem_estimate_bwd(user_tile: int, rx_shape, tx_shape, p: int,
     Lane-packed like the forward: per-path intermediates have
     ug = user_tile / group rows; the cotangent tile stays per-user sized.
     """
-    g = _grouping(p)
+    g, pp = _grouping(p)
     ug = max(1, user_tile // g)
-    lanes = 128 if g > 1 else _ceil_to(p, 128)
+    lanes = g * pp if g > 1 else _ceil_to(p, 128)
     vm = lambda rows: ug * _ceil_to(max(rows, 1), 8) * lanes * 4
     r = rx_shape[0] * rx_shape[1]
     t = tx_shape[0] * tx_shape[1]
@@ -726,7 +785,7 @@ def pick_user_tile_bwd(rx_shape, tx_shape, p: int, n_k: int,
                        n_s: int = 1, budget: int = 64 * 2**20,
                        mm_dtype: str = "float32") -> int:
     """Largest backward tile under the VMEM budget (0 = does not fit)."""
-    g = _grouping(p)
+    g, _pp = _grouping(p)
     for ug in (64, 32, 16, 8):
         ut = g * ug
         if vmem_estimate_bwd(ut, rx_shape, tx_shape, p, n_k, n_s,
@@ -742,7 +801,7 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
     n_sa = amp.shape[1] // p                   # 1 or n_s (per-snapshot amp)
     q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
     sk = n_s * n_k
-    g = _grouping(p)
+    g, pp = _grouping(p)
     user_tile = max(g, (user_tile // g) * g)
     ug = user_tile // g
     u_pad = _ceil_to(u, user_tile)
@@ -756,7 +815,7 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
         pad_u = ((0, u_pad - u), (0, 0), (0, 0))
         ct = jnp.pad(ct, pad_u if packed else ((0, 0),) + pad_u)
     if g > 1:
-        args = [_pack_rows(x, nb, g, ug) for x in args]
+        args = [_pack_rows(x, nb, g, ug, pp) for x in args]
     lanes = args[0].shape[-1]
 
     l1 = _best_l1(n_k)
@@ -783,7 +842,7 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
     kern = functools.partial(_bwd_kernel_norx if skip_rx else _bwd_kernel,
                              rx_shape=rx_shape, tx_shape=tx_shape, n_k=n_k,
                              l1=l1, mm_dtype=mm_dtype, packed=packed,
-                             group=g, n_paths=p)
+                             group=g, n_paths=pp if g > 1 else p)
     n_ph = 4 if skip_rx else 8
     grads = pl.pallas_call(
         kern,
@@ -798,7 +857,7 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
                               mm_dtype)),
     )(*args, ct)
     if g > 1:
-        grads = [_unpack_rows(x, nb, g, ug, p) for x in grads]
+        grads = [_unpack_rows(x, nb, g, ug, pp, p) for x in grads]
     dgry, dgrz, dgty, dgtz, damp, dpsi, domega = [
         x[:u] for x in grads]
     return (dgry, dgrz, dgty, dgtz, damp.reshape(u, n_sa * p),
@@ -897,7 +956,7 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
     n_s = psi.shape[1] // p
     n_sa = amp.shape[1] // p                   # 1 or n_s (per-snapshot amp)
     q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
-    g = _grouping(p)
+    g, pp = _grouping(p)
     user_tile = max(g, (user_tile // g) * g)
     ug = user_tile // g
     u_pad = _ceil_to(u, user_tile)
@@ -916,7 +975,7 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
                             [(0, 0)] * (x.ndim - 1) + [(0, 128 - p)])
                     for x in args]
         else:
-            args = [_pack_rows(x, nb, g, ug) for x in args]
+            args = [_pack_rows(x, nb, g, ug, pp) for x in args]
     lanes = args[0].shape[-1]
 
     l1 = _best_l1(n_k)
@@ -940,7 +999,8 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
     kern = functools.partial(_kernel_norx if skip_rx else _kernel,
                              rx_shape=rx_shape, tx_shape=tx_shape,
                              n_k=n_k, l1=l1, mm_dtype=mm_dtype,
-                             packed=packed, group=g, n_paths=p)
+                             packed=packed, group=g,
+                             n_paths=pp if g > 1 else p)
     n_ph = 4 if skip_rx else 8
     h = pl.pallas_call(
         kern,

@@ -321,11 +321,12 @@ def test_render_channels_planes_packed_cfg():
 
 
 def test_fused_render_lane_packed_matches_reference():
-    """Experimental lane-packed layout (render.LANE_PACK): same results.
+    """Default 32-aligned packed layout vs the XLA reference.
 
-    The packed layout groups 128 // P users' paths onto one lane group
-    (fwd + bwd kernels take per-residue masked-dot paths); this pins its
-    correctness in interpret mode so the opt-in stays usable.
+    The packed layout groups 128 // ceil(P, 32) users per lane group
+    with per-residue sliced concat-dots (fwd) and masked-accumulate
+    dots (bwd); this pins its correctness in interpret mode across both
+    output layouts and the legacy NO_PACK fallback.
     """
     import deepmimo_tpu.ops.pallas.render as R
 
@@ -334,10 +335,18 @@ def test_fused_render_lane_packed_matches_reference():
     mk = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, (U, P)), jnp.float32)
     args = (mk(-3, 3), mk(-3, 3), mk(-3, 3), mk(-3, 3),
             mk(0, 1e-4), mk(-3, 3), mk(0, 6))
-    old = R.LANE_PACK
-    R.LANE_PACK = True
+    assert not R.NO_PACK
     try:
-        assert R._grouping(P) > 1
+        assert R._grouping(P) == (4, 32)
+        # Legacy (no-pack) layout agrees with the packed default.
+        R.NO_PACK = True
+        h_legacy = R.fused_render(*args, (1, 1), (4, 4), K, 10, True,
+                                  "float32", True)
+        R.NO_PACK = False
+        h_packed = R.fused_render(*args, (1, 1), (4, 4), K, 10, True,
+                                  "float32", True)
+        np.testing.assert_allclose(np.asarray(h_packed),
+                                   np.asarray(h_legacy), atol=1e-9)
         for rx_shape, tx_shape, packed in [((1, 1), (4, 4), True),
                                            ((2, 1), (2, 2), False)]:
             ref = R._reference_impl(*args, rx_shape, tx_shape, K)
@@ -384,7 +393,7 @@ def test_fused_render_lane_packed_matches_reference():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3e-4 * scale)
     finally:
-        R.LANE_PACK = old
+        R.NO_PACK = False
 
 
 def test_fused_render_per_snapshot_amp():
