@@ -107,9 +107,16 @@ def bench_tpu(data, spec):
                for _ in range(5))
 
     def sweep():
-        outs = [render(dev_paths, bs, ue, i * block)
-                for i in range(n_blocks)]
-        float(jax.device_get(outs[-1][(-1,) * outs[-1].ndim]))
+        # Bounded in-flight window: holding every block's output live
+        # OOMs HBM at 131k users x big-q configs (32 x ~1 GB); dropping
+        # the oldest ref lets its buffer free once executed while the
+        # dispatch pipeline stays async.
+        window = []
+        for i in range(n_blocks):
+            window.append(render(dev_paths, bs, ue, i * block))
+            if len(window) > 4:
+                window.pop(0)
+        float(jax.device_get(window[-1][(-1,) * window[-1].ndim]))
 
     best = min(_timed(sweep) for _ in range(3))
     return n_blocks * block / max(best - t_rt, 1e-9)
@@ -212,7 +219,7 @@ def main():
         f.write("# BASELINE configuration sweep (single TPU chip)\n\n")
         f.write(f"Generated {time.strftime('%Y-%m-%d')} by "
                 "`benchmarks/run_baseline_configs.py` at the current "
-                "kernel (flat prologue, packed planes, ut<=128).\n\n")
+                "kernel (packed-32 lane layout, concat-dot, packed planes).\n\n")
         f.write(f"{N_UE:,} users x {MAX_PATHS} paths; reference = upstream "
                 "CPU generator on this machine (median of 3 runs on a "
                 f"{BASELINE_SAMPLE}-user sample; range in brackets). TPU "

@@ -57,6 +57,11 @@ if _ABLATE:  # loud, unmissable — guards against leaked env vars
 # only at process start (tests/benchmarks).
 NO_PACK = bool(int(os.environ.get("DM_RENDER_NO_PACK", "0")))
 
+# Prologue ordering for the packed layout: pack the 7 raw inputs then
+# trig on packed arrays (True), or trig on flat views then pack the 13
+# outputs (False). Trace-time; perf A/B only (results identical).
+PACK_FIRST = bool(int(os.environ.get("DM_RENDER_PACK_FIRST", "0")))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -519,6 +524,8 @@ def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
              vm(tx_shape[0]) + vm(tx_shape[1])) +  # phasor stacks
         2 * (vm(r) + vm(t)) +                    # arx, atx
         4 * vm(q) +                              # er/ei + e2 concat
+        # _panel_er_ei outer-product temporaries ([ug, r, t, L] views)
+        (4 * vm(q) if r > 1 else 0) +
         2 * (vm(l1) + vm(l2)) + 2 * n_s * vm(l2) +  # subcarrier tables
         4 * vm(sk) +                             # gr/gi + g2 concat
         # hi/lo bf16 splits: 2 bf16 copies per operand = 1 f32-equivalent
@@ -546,12 +553,16 @@ def _compiler_params(est: int):
     default on the default path (BENCH_r03 rc=124, "Scoped allocation
     43.71M exceeded 16.00M"). Block buffers are accounted separately by
     Mosaic, so the whole-tile estimate is a safe upper bound for the
-    scoped portion; floor 64 MiB, cap 112 MiB (< the 128 MiB physical
-    VMEM, leaving double-buffering headroom). Passed UNCONDITIONALLY for
-    every non-interpret call — never gated on a layout flag.
+    scoped portion; floor 100 MiB (the estimate UNDERCOUNTS panel
+    outer-product temporaries on large-q shapes — a 64 MiB floor lost to
+    a measured 90.15M scoped need on the 8x64 MIMO config), cap 112 MiB
+    (< the 128 MiB physical VMEM). The limit is an allowance, not a
+    reservation, so a generous floor costs nothing when unused. Passed
+    UNCONDITIONALLY for every non-interpret call — never gated on a
+    layout flag.
     """
     return pltpu.CompilerParams(
-        vmem_limit_bytes=int(min(112 * 2**20, max(64 * 2**20, est))))
+        vmem_limit_bytes=int(min(112 * 2**20, max(100 * 2**20, est))))
 
 
 def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
@@ -808,14 +819,21 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
     nb = u_pad // user_tile
 
     skip_rx = rx_shape[0] * rx_shape[1] == 1
-    args = _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx=skip_rx)
     if u_pad != u:
-        args = [jnp.pad(x, ((0, u_pad - u),) + ((0, 0),) * (x.ndim - 1))
-                for x in args]
+        padr = lambda x: jnp.pad(x, ((0, u_pad - u), (0, 0)))
+        gry, grz = (padr(gry), padr(grz)) if not skip_rx else (gry, grz)
+        gty, gtz, amp, psi, omega = (padr(gty), padr(gtz), padr(amp),
+                                     padr(psi), padr(omega))
         pad_u = ((0, u_pad - u), (0, 0), (0, 0))
         ct = jnp.pad(ct, pad_u if packed else ((0, 0),) + pad_u)
-    if g > 1:
-        args = [_pack_rows(x, nb, g, ug, pp) for x in args]
+    if g > 1 and PACK_FIRST:
+        args = _trig_args(gry, grz, gty, gtz, amp, psi, omega,
+                          skip_rx=skip_rx, pack=(nb, g, ug, pp))
+    else:
+        args = _trig_args(gry, grz, gty, gtz, amp, psi, omega,
+                          skip_rx=skip_rx)
+        if g > 1:
+            args = [_pack_rows(x, nb, g, ug, pp) for x in args]
     lanes = args[0].shape[-1]
 
     l1 = _best_l1(n_k)
@@ -910,18 +928,23 @@ def fused_render(gry, grz, gty, gtz, amp, psi, omega,
                      tx_shape, n_k, user_tile, interpret, mm_dtype, packed)
 
 
-def _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx: bool = False):
+def _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx: bool = False,
+               pack=None):
     """XLA-prologue base phasors for the kernel (see _phasor_stack).
 
     [gry, grz, gty, gtz] angles -> 8 cos/sin pairs; psi [U, S*P] ->
     (cos, sin) [U, S, P]; omega -> (cos(-w), sin(-w)); sincos in the XLA
     prologue instead of per-tile padded Mosaic transcendentals.
 
-    Layout: the math runs on FLAT [U*P] views — a [U, P] f32 array is
-    (8, 128)-tile padded on TPU, so with P = 25 every elementwise pass
-    pays a 5.1x physical-bytes tax; flat arrays stay packed and only the
-    final reshape (fused with the trig op) writes the padded layout the
-    kernel BlockSpecs read (benchmarks/SOL.md, prologue accounting).
+    ``pack=(nb, g, ug, pp)`` (the packed-layout path): the 7 RAW inputs
+    are row/lane packed FIRST and the trig runs on the packed (dense)
+    arrays — 7 pack transposes instead of 13, and XLA fuses the sincos
+    into the pack writes. Pad lanes then hold cos(0)=1/sin(0)=0 instead
+    of zeros — harmless: amp (packed, not trig'd) is zero there, so pad
+    lanes contribute exact zeros to every path-sum. Without ``pack`` the
+    math runs on FLAT [U*P] views — a [U, P] f32 array is (8, 128)-tile
+    padded on TPU, so with P = 25 every elementwise pass pays a 5.1x
+    physical-bytes tax (benchmarks/SOL.md, prologue accounting).
 
     ``skip_rx`` (static): with a single-antenna RX panel the kernels never
     touch the RX phasors (E == a_tx, _panel_er_ei r==1 branch), so the 4
@@ -935,6 +958,24 @@ def _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx: bool = False):
     u, p = omega.shape
     n_s = psi.shape[1] // p
     n_sa = amp.shape[1] // p
+
+    if pack is not None:
+        nb, g, ug, pp = pack
+        pk = lambda x: _pack_rows(x, nb, g, ug, pp)
+
+        def csp(x, neg_sin=False):
+            s = jnp.sin(x)
+            return jnp.cos(x), (-s if neg_sin else s)
+
+        out = []
+        if not skip_rx:
+            out += [*csp(pk(gry.reshape(u, p))),
+                    *csp(pk(grz.reshape(u, p)))]
+        out += [*csp(pk(gty.reshape(u, p))), *csp(pk(gtz.reshape(u, p))),
+                pk(amp.reshape(u, n_sa, p)),
+                *csp(pk(psi.reshape(u, n_s, p))),
+                *csp(pk(omega), neg_sin=True)]
+        return out
 
     def cs(x, shape, neg_sin=False):
         xf = x.reshape(-1)
@@ -965,17 +1006,28 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
     # psi ships as a 3D [U, S, P] block: the kernel must not split the
     # minor (lane) dim, so the snapshot axis is materialized here.
     skip_rx = rx_shape[0] * rx_shape[1] == 1
-    args = _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx=skip_rx)
     if u_pad != u:
-        args = [jnp.pad(x, ((0, u_pad - u),) + ((0, 0),) * (x.ndim - 1))
-                for x in args]
-    if g > 1:
-        if "nopack" in _ABLATE:      # perf bisect: right shapes, wrong data
+        padr = lambda x: jnp.pad(x, ((0, u_pad - u), (0, 0)))
+        gry, grz = (padr(gry), padr(grz)) if not skip_rx else (gry, grz)
+        gty, gtz, amp, psi, omega = (padr(gty), padr(gtz), padr(amp),
+                                     padr(psi), padr(omega))
+    if g > 1 and "nopack" not in _ABLATE:
+        if PACK_FIRST:
+            # Pack the 7 raw inputs, trig on the packed (dense) arrays:
+            # 7 transposes instead of 13 (see _trig_args).
+            args = _trig_args(gry, grz, gty, gtz, amp, psi, omega,
+                              skip_rx=skip_rx, pack=(nb, g, ug, pp))
+        else:
+            args = _trig_args(gry, grz, gty, gtz, amp, psi, omega,
+                              skip_rx=skip_rx)
+            args = [_pack_rows(x, nb, g, ug, pp) for x in args]
+    else:
+        args = _trig_args(gry, grz, gty, gtz, amp, psi, omega,
+                          skip_rx=skip_rx)
+        if g > 1:                    # perf bisect: right shapes, wrong data
             args = [jnp.pad(x[:nb * ug],
                             [(0, 0)] * (x.ndim - 1) + [(0, 128 - p)])
                     for x in args]
-        else:
-            args = [_pack_rows(x, nb, g, ug, pp) for x in args]
     lanes = args[0].shape[-1]
 
     l1 = _best_l1(n_k)
