@@ -432,3 +432,35 @@ def test_fused_render_per_snapshot_amp():
                 scale = float(jnp.abs(b).max()) + 1e-12
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            atol=3e-4 * scale)
+
+
+def test_fused_render_pack_first_prologue_matches():
+    """PACK_FIRST prologue ordering (pack raw inputs, trig on packed):
+    identical results to the default trig-then-pack, fwd + grads."""
+    from deepmimo_tpu.ops.pallas import render as R
+
+    rng = np.random.RandomState(3)
+    U, P, K = 20, 25, 16
+    mk = lambda lo, hi, *s: jnp.asarray(rng.uniform(lo, hi, s), jnp.float32)
+    args = (mk(-3, 3, U, P), mk(-3, 3, U, P), mk(-3, 3, U, P),
+            mk(-3, 3, U, P), mk(0, 1e-4, U, P), mk(-3, 3, 2 * U * P
+            // P * P).reshape(U, 2 * P), mk(0, 6, U, P))
+
+    def loss(a):
+        h = R.fused_render(*a, (2, 1), (2, 2), K, 8, True, "float32",
+                           True)
+        return jnp.sum(h ** 2), h
+
+    assert not R.PACK_FIRST
+    (l0, h0), g0 = jax.value_and_grad(loss, has_aux=True)(args)
+    try:
+        R.PACK_FIRST = True
+        jax.clear_caches()        # trace-time flag: drop cached traces
+        (l1, h1), g1 = jax.value_and_grad(loss, has_aux=True)(args)
+    finally:
+        R.PACK_FIRST = False
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), atol=1e-9)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9)
