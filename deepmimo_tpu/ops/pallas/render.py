@@ -666,45 +666,57 @@ def _bwd_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
     prep_sk, dot_sk = _dot_mode(mm_dtype, dn_sk)
     prep_q, dot_q = _dot_mode(mm_dtype, dn_q)
 
-    # Per-residue cotangent rows -> lane-packed gradients. Each residue's
-    # dot writes ALL lanes; only lanes [res*P, (res+1)*P) correspond to
-    # that residue's users, so results are select-combined across residues
-    # (masks are disjoint; pad lanes stay zero via amp = 0 in the chains).
-    def lane_sel(res, x):
-        if group == 1:
-            return x
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
-        return jnp.where((lane1 >= res * n_paths) &
-                         (lane1 < (res + 1) * n_paths), x, 0)
+    # Per-residue cotangent rows -> lane-packed gradients. The lane axis
+    # of every dot's SECOND operand is the output (non-contracted) dim,
+    # and residue r's results occupy exactly lanes [r*pp, (r+1)*pp) — so
+    # each residue dots against its own lane SLICE and the results lane-
+    # CONCATENATE in residue order: no masks, no wasted output lanes
+    # (the old masked full-width dots paid group x the MXU work; pad
+    # lanes stay zero via amp = 0 folded into cbs/sbs).
+    if group == 1:
+        sl_op = lambda tup, lo: tup          # legacy layout: full lanes
+    else:
+        sl_op = lambda tup, lo: tuple(c[..., lo:lo + n_paths]
+                                      for c in tup)
+    cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, -1)
 
     if packed:
         # ct [ut, q, 2sk], hr in the first minor half. Concats/slices
-        # stay on sublane axes (lane-axis ops would force relayouts).
+        # stay on sublane axes for the ct side (lane ops on the big
+        # operand would force relayouts).
         g2a = prep_sk(jnp.concatenate((cbs, sbs), axis=1))  # [ug, 2sk, L]
         g2b = prep_sk(jnp.concatenate((-sbs, cbs), axis=1))
         erc, eic = prep_q(er), prep_q(ei)
-        der = dei = a2 = b2 = 0.0
+        ders, deis, a2s, b2s = [], [], [], []
         for res in range(group):
+            lo = res * n_paths
             # prep is dn-independent: one bf16 hi/lo split feeds both dots
             ctp = prep_sk(ct_ref[res * ug:(res + 1) * ug])  # [ug, q, 2sk]
-            der = der + lane_sel(res, dot_sk(ctp, g2a))     # [ug, q, L]
-            dei = dei + lane_sel(res, dot_sk(ctp, g2b))
-            a2 = a2 + lane_sel(res, dot_q(ctp, erc))        # [ug, 2sk, L]
-            b2 = b2 + lane_sel(res, dot_q(ctp, eic))
+            ders.append(dot_sk(ctp, sl_op(g2a, lo)))        # [ug, q, pp]
+            deis.append(dot_sk(ctp, sl_op(g2b, lo)))
+            a2s.append(dot_q(ctp, sl_op(erc, lo)))          # [ug, 2sk, pp]
+            b2s.append(dot_q(ctp, sl_op(eic, lo)))
+        der, dei, a2, b2 = cat(ders), cat(deis), cat(a2s), cat(b2s)
         dgr = a2[:, :sk, :] + b2[:, sk:, :]
         dgi = a2[:, sk:, :] - b2[:, :sk, :]
     else:
         cbc, sbc = prep_sk(cbs), prep_sk(sbs)
         erc, eic = prep_q(er), prep_q(ei)
-        der = dei = dgr = dgi = 0.0
+        ders, deis, dgrs, dgis = [], [], [], []
         for res in range(group):
+            lo = res * n_paths
             rows = slice(res * ug, (res + 1) * ug)
             ctr = prep_sk(ct_ref[0, rows])
             cti = prep_sk(ct_ref[1, rows])
-            der = der + lane_sel(res, dot_sk(ctr, cbc) + dot_sk(cti, sbc))
-            dei = dei + lane_sel(res, dot_sk(cti, cbc) - dot_sk(ctr, sbc))
-            dgr = dgr + lane_sel(res, dot_q(ctr, erc) + dot_q(cti, eic))
-            dgi = dgi + lane_sel(res, dot_q(cti, erc) - dot_q(ctr, eic))
+            ders.append(dot_sk(ctr, sl_op(cbc, lo)) +
+                        dot_sk(cti, sl_op(sbc, lo)))
+            deis.append(dot_sk(cti, sl_op(cbc, lo)) -
+                        dot_sk(ctr, sl_op(sbc, lo)))
+            dgrs.append(dot_q(ctr, sl_op(erc, lo)) +
+                        dot_q(cti, sl_op(eic, lo)))
+            dgis.append(dot_q(cti, sl_op(erc, lo)) -
+                        dot_q(ctr, sl_op(eic, lo)))
+        der, dei, dgr, dgi = cat(ders), cat(deis), cat(dgrs), cat(dgis)
 
     # --- gain-side chain: g = amp * exp(j base), base = psi_s - omega*k ---
     dval = (dgr * cb_ + dgi * sb_).reshape(ug, n_s, n_k, lanes)
