@@ -464,3 +464,39 @@ def test_fused_render_pack_first_prologue_matches():
     for a, b in zip(g1, g0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-9)
+
+
+def test_fused_render_large_path_count_legacy_layout():
+    """P > 64 falls back to the legacy one-user-per-row layout (group 1,
+    lanes ceil(P, 128)) — pin its fwd + bwd correctness."""
+    from deepmimo_tpu.ops.pallas import render as R
+
+    assert R._grouping(80) == (1, 128)
+    assert R._grouping(25) == (4, 32)
+    assert R._grouping(40) == (2, 64)
+    rng = np.random.RandomState(6)
+    U, P, K = 12, 80, 8
+    mk = lambda lo, hi, *s: jnp.asarray(rng.uniform(lo, hi, s), jnp.float32)
+    args = (mk(-3, 3, U, P), mk(-3, 3, U, P), mk(-3, 3, U, P),
+            mk(-3, 3, U, P), mk(0, 1e-4, U, P), mk(-3, 3, U, P),
+            mk(0, 6, U, P))
+    ref = R._reference_impl(*args, (2, 1), (2, 2), K)
+    out = R.fused_render(*args, (2, 1), (2, 2), K, 8, True)
+    for a, b in zip(ref, out):
+        scale = float(jnp.abs(a).max())
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-5 * scale)
+
+    def loss(a):
+        hr, hi = R.fused_render(*a, (2, 1), (2, 2), K, 8, True)
+        return jnp.sum(hr ** 2 + hi ** 2)
+
+    def loss_ref(a):
+        hr, hi = R._reference_impl(*a, (2, 1), (2, 2), K)
+        return jnp.sum(hr ** 2 + hi ** 2)
+
+    g1, g2 = jax.grad(loss)(args), jax.grad(loss_ref)(args)
+    for a, b in zip(g1, g2):
+        scale = float(jnp.abs(b).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4 * scale)
