@@ -26,15 +26,29 @@ import numpy as np
 
 
 def _variants():
-    # (name, rx_shape, tx_shape, p, n_k, n_s, packed, bwd)
-    yield ("fwd_packed_skiprx_headline", (1, 1), (8, 8), 25, 64, 1, True, False)
-    yield ("fwd_stacked_skiprx", (1, 1), (8, 8), 25, 64, 1, False, False)
-    yield ("fwd_packed_mimo_rx", (2, 2), (8, 8), 25, 64, 1, True, False)
-    yield ("fwd_packed_doppler", (1, 1), (8, 8), 25, 64, 4, True, False)
-    yield ("fwd_stacked_doppler_rx", (2, 2), (4, 4), 10, 32, 3, False, False)
-    yield ("bwd_packed_skiprx", (1, 1), (8, 8), 25, 64, 1, True, True)
-    yield ("bwd_stacked_mimo_rx", (2, 2), (8, 8), 25, 64, 1, False, True)
-    yield ("bwd_packed_doppler", (1, 1), (8, 8), 25, 64, 2, True, True)
+    # (name, rx_shape, tx_shape, p, n_k, n_s, packed, bwd, polar_amp)
+    # polar_amp: per-snapshot amplitudes (amp [U, S*P] — the dual-polar
+    # layout where each snapshot slot is a polarization).
+    yield ("fwd_packed_skiprx_headline", (1, 1), (8, 8), 25, 64, 1, True,
+           False, False)
+    yield ("fwd_stacked_skiprx", (1, 1), (8, 8), 25, 64, 1, False, False,
+           False)
+    yield ("fwd_packed_mimo_rx", (2, 2), (8, 8), 25, 64, 1, True, False,
+           False)
+    yield ("fwd_packed_doppler", (1, 1), (8, 8), 25, 64, 4, True, False,
+           False)
+    yield ("fwd_stacked_doppler_rx", (2, 2), (4, 4), 10, 32, 3, False,
+           False, False)
+    yield ("fwd_packed_dualpolar", (1, 1), (8, 8), 25, 64, 4, True,
+           False, True)
+    yield ("bwd_packed_skiprx", (1, 1), (8, 8), 25, 64, 1, True, True,
+           False)
+    yield ("bwd_stacked_mimo_rx", (2, 2), (8, 8), 25, 64, 1, False, True,
+           False)
+    yield ("bwd_packed_doppler", (1, 1), (8, 8), 25, 64, 2, True, True,
+           False)
+    yield ("bwd_packed_dualpolar", (1, 1), (8, 8), 25, 64, 4, True, True,
+           True)
 
 
 def run_variants(tag=""):
@@ -49,7 +63,7 @@ def run_variants(tag=""):
           flush=True)
     failures = []
     rng = np.random.RandomState(0)
-    for (name, rx, tx, p, n_k, n_s, packed, bwd) in _variants():
+    for (name, rx, tx, p, n_k, n_s, packed, bwd, polar_amp) in _variants():
         ut = pick_user_tile(0, rx, tx, p, n_k, n_s)
         if bwd:
             ut_b = pick_user_tile_bwd(rx, tx, p, n_k, n_s)
@@ -63,8 +77,9 @@ def run_variants(tag=""):
         u = ut  # exactly one tile: compile cost dominates anyway
         mk = lambda *s: jnp.asarray(
             rng.uniform(-1, 1, s).astype(np.float32))
+        n_sa = n_s if polar_amp else 1
         args = (mk(u, p), mk(u, p), mk(u, p), mk(u, p),   # gry grz gty gtz
-                jnp.abs(mk(u, p)),                        # amp
+                jnp.abs(mk(u, n_sa * p)),                 # amp
                 mk(u, n_s * p), jnp.abs(mk(u, p)) * 0.1)  # psi omega
         t0 = time.time()
         try:

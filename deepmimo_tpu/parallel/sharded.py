@@ -56,6 +56,38 @@ def render_channels_sharded(paths: PathData, bs: AntennaPanel,
     return _render_sharded(paths, bs, ue, cfg, mesh)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _render_polar_sharded(paths, bs, ue, cfg, pol_p, pol_ph, mesh):
+    from ..ops.channel import render_channels_planes_polar
+    h = render_channels_planes_polar(paths, bs, ue, cfg, pol_p, pol_ph)
+    # Raw kernel layouts: packed [U, R, T, 2*Np*S*K] (users leading) or
+    # stacked [2, U, R, T, Np, S, K] (users second). Users over the dp
+    # axis; the folded (pol, s, k) minor axis over the tile axis.
+    lead = [USERS_AXIS] if h.ndim == 4 else [None, USERS_AXIS]
+    spec = lead + [None] * (h.ndim - len(lead) - 1) + [TILE_AXIS]
+    return jax.lax.with_sharding_constraint(h, NamedSharding(mesh, P(*spec)))
+
+
+def render_polar_sharded(paths: PathData, bs: AntennaPanel,
+                         ue: AntennaPanel, cfg: ChannelConfig,
+                         pol_power_dbw, pol_phase_deg,
+                         mesh: Mesh) -> jax.Array:
+    """All four polarizations, one fused dispatch, users sharded.
+
+    The single-dispatch dual-polar render (pol axis riding the kernel
+    snapshot axis) is per-user independent like the single-pol path, so
+    users shard with zero forward collectives; the [N_pol, U, P] pol
+    matrices shard on their user axis alongside PathData. Returns the
+    raw kernel-layout planes (unpack host-side with
+    ops.channel.unpack_polar_planes_np).
+    """
+    paths = shard_paths(paths, mesh)
+    sh = NamedSharding(mesh, P(None, USERS_AXIS, None))
+    pol_p = jax.device_put(jnp.asarray(pol_power_dbw), sh)
+    pol_ph = jax.device_put(jnp.asarray(pol_phase_deg), sh)
+    return _render_polar_sharded(paths, bs, ue, cfg, pol_p, pol_ph, mesh)
+
+
 # ============================================================================
 # Distributed differentiable calibration (the "training step")
 # ============================================================================

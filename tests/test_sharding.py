@@ -181,3 +181,33 @@ def test_export_xyz_csv(tmp_path):
     lines = open(path).read().splitlines()
     assert lines[0] == "x,y,z,value"
     assert len(lines) == 9
+
+
+def test_polar_sharded_matches_single_device():
+    """Single-dispatch dual-polar render sharded over users == unsharded."""
+    from deepmimo_tpu.parallel import render_polar_sharded
+    from deepmimo_tpu.ops.channel import (render_channels_planes_polar,
+                                          unpack_polar_planes_np)
+
+    paths = _paths(n_ue=16)
+    bs, ue = AntennaPanel.make((10, 0, 30)), AntennaPanel.make()
+    rng = np.random.RandomState(4)
+    u, p = 16, 6
+    pol_p = rng.uniform(-120, -70, (4, u, p)).astype(np.float32)
+    pol_ph = rng.uniform(-180, 180, (4, u, p)).astype(np.float32)
+
+    ref = np.asarray(render_channels_planes_polar(
+        paths, bs, ue, CFG, jnp.asarray(pol_p), jnp.asarray(pol_ph)))
+
+    mesh = make_mesh()
+    out = render_polar_sharded(paths, bs, ue, CFG, pol_p, pol_ph, mesh)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+    # Users axis genuinely sharded across the mesh
+    users_dim = 0 if out.ndim == 4 else 1
+    n_users_axis = dict(zip(mesh.axis_names, mesh.devices.shape))["users"]
+    shard_rows = {s.data.shape[users_dim] for s in out.addressable_shards}
+    assert shard_rows == {16 // n_users_axis}
+
+    # And the unpack produces the per-pol complex quadruple
+    hq = unpack_polar_planes_np(np.asarray(out), CFG, 4)
+    assert hq.shape[0] == 4 and np.isfinite(hq).all()
