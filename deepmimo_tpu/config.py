@@ -43,6 +43,11 @@ class DeepMIMOConfig:
         # (3 bf16 MXU passes; ~5e-6 max rel err vs the f64 oracle),
         # "bfloat16" = 1 fast pass (~3e-3 err), "highest" = 6 passes.
         "matmul_dtype": "float32",
+        # Planes-renderer output precision: "bfloat16" halves H's output
+        # bytes (the binding HBM-write floor of the fused kernel, ~2^-8
+        # relative rounding) — a serving mode for NN consumers. The
+        # canonical complex outputs and parity tests stay float32.
+        "planes_out_dtype": "float32",
         "user_block": 16384,              # users per block when streaming to host
         # compute_channels renders in ONE dispatch when the output tensor
         # fits this budget (bytes); larger outputs stream over user_block

@@ -156,6 +156,7 @@ class ChannelGenParameters(DotDict):
             backend=_config.get("render_backend", "fused"),
             planes_layout=_config.get("planes_layout", "packed"),
             matmul_dtype=_config.get("matmul_dtype", "float32"),
+            out_dtype=_config.get("planes_out_dtype", "float32"),
         )
 
         if ue_rotation is None:

@@ -420,7 +420,8 @@ def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
                      sh(amp), psi, omega,
                      cfg.ue_shape, cfg.bs_shape, n_k,
                      user_tile=ut, interpret=interpret,
-                     mm_dtype=cfg.matmul_dtype, packed=packed)
+                     mm_dtype=cfg.matmul_dtype, packed=packed,
+                     out_dtype=cfg.out_dtype)
     r = cfg.ue_shape[0] * cfg.ue_shape[1]
     t = cfg.bs_shape[0] * cfg.bs_shape[1]
     if packed:                       # [U, Q, 2*S*K] -> [U, R, T, 2*S*K]
@@ -573,7 +574,8 @@ def render_channels_planes_polar(paths: PathData, bs: AntennaPanel,
     h = fused_render(sh(z(gry)), sh(z(grz)), sh(z(gty)), sh(z(gtz)),
                      amp, psi, omega, cfg.ue_shape, cfg.bs_shape, n_k,
                      user_tile=ut, interpret=interpret,
-                     mm_dtype=cfg.matmul_dtype, packed=packed)
+                     mm_dtype=cfg.matmul_dtype, packed=packed,
+                     out_dtype=cfg.out_dtype)
     r = cfg.ue_shape[0] * cfg.ue_shape[1]
     t = cfg.bs_shape[0] * cfg.bs_shape[1]
     if packed:
@@ -589,7 +591,9 @@ def unpack_polar_planes_np(arr, cfg: ChannelConfig, n_pol: int = 4):
     output of :func:`render_channels`.
     """
     arr = np.asarray(arr)
-    cdt = np.complex64 if arr.dtype == np.float32 else np.complex128
+    cdt = np.complex128 if arr.dtype == np.float64 else np.complex64
+    if arr.dtype not in (np.float32, np.float64):
+        arr = arr.astype(np.float32)
     n_s = _fused_n_snap(cfg)
     n_k = len(cfg.selected_subcarriers)
     if _polar_packed_layout(cfg, n_pol):
@@ -676,9 +680,11 @@ def render_channels_planes(paths: PathData, bs: AntennaPanel,
     cannot move complex arrays. Same configs as the fast path of
     :func:`render_channels` (complex64, no sinc filter; both domains).
     """
+    co = (lambda x: x) if cfg.out_dtype == "float32" else \
+        (lambda x: x.astype(cfg.out_dtype))
     if not (cfg.dtype == "complex64" and not cfg.rx_filter):
         h = render_channels(paths, bs, ue, cfg)
-        return jnp.stack((jnp.real(h), jnp.imag(h)))
+        return co(jnp.stack((jnp.real(h), jnp.imag(h))))
 
     from .geometry import (array_response_planes, array_response_phase,
                            rotate_unit_vec)
@@ -770,10 +776,10 @@ def render_channels_planes(paths: PathData, bs: AntennaPanel,
         # s-major in the first minor half, hi in the second.
         hr_all = jnp.concatenate([o[0] for o in outs], axis=-1)
         hi_all = jnp.concatenate([o[1] for o in outs], axis=-1)
-        return jnp.concatenate((hr_all, hi_all), axis=-1)
+        return co(jnp.concatenate((hr_all, hi_all), axis=-1))
     if cfg.enable_doppler and len(snapshots) > 1:
-        return jnp.stack([jnp.stack(o) for o in outs], axis=-1)
-    return jnp.stack(outs[0])
+        return co(jnp.stack([jnp.stack(o) for o in outs], axis=-1))
+    return co(jnp.stack(outs[0]))
 
 
 def unpack_planes_np(arr, cfg: ChannelConfig) -> np.ndarray:
@@ -786,7 +792,11 @@ def unpack_planes_np(arr, cfg: ChannelConfig) -> np.ndarray:
     round-trip in the host-gather path.
     """
     arr = np.asarray(arr)
-    cdt = np.complex64 if arr.dtype == np.float32 else np.complex128
+    # bf16 planes (cfg.out_dtype='bfloat16') widen to complex64; only
+    # float64 planes produce complex128.
+    cdt = np.complex128 if arr.dtype == np.float64 else np.complex64
+    if arr.dtype not in (np.float32, np.float64):
+        arr = arr.astype(np.float32)
     if _packed_layout(cfg):
         n_s = _fused_n_snap(cfg)
         n_k = len(cfg.selected_subcarriers)

@@ -473,14 +473,16 @@ def _kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
             # with sign = -1 on the first sk lanes (the rolled ei.gi^T half).
             rolled = pltpu.roll(m[:, q:, :], sk, axis=2)
             lane2 = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 2)
-            h_ref[rows] = m[:, :q, :] + jnp.where(lane2 < sk, -rolled,
-                                                  rolled)
+            v = m[:, :q, :] + jnp.where(lane2 < sk, -rolled, rolled)
+            h_ref[rows] = v.astype(h_ref.dtype)   # bf16 out: cast at store
         else:
             # Stacked output buffer [2, ut, q, sk]: H lands in HBM exactly
             # once (separate hr/hi outputs forced the caller to stack them
             # — a full extra read+write of H).
-            h_ref[0, rows] = m[:, :q, :sk] - m[:, q:, sk:]
-            h_ref[1, rows] = m[:, :q, sk:] + m[:, q:, :sk]
+            h_ref[0, rows] = (m[:, :q, :sk] -
+                              m[:, q:, sk:]).astype(h_ref.dtype)
+            h_ref[1, rows] = (m[:, :q, sk:] +
+                              m[:, q:, :sk]).astype(h_ref.dtype)
 
 
 def _kernel_norx(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, amp_ref, cpsi_ref,
@@ -898,12 +900,14 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
 # Public entry with custom VJP
 # ----------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
 def fused_render(gry, grz, gty, gtz, amp, psi, omega,
                  rx_shape: Tuple[int, int], tx_shape: Tuple[int, int],
                  n_k: int, user_tile: int = 16, interpret: bool = False,
                  mm_dtype: str = "float32",
-                 packed: bool = False) -> jax.Array:
+                 packed: bool = False,
+                 out_dtype: str = "float32") -> jax.Array:
     """Fused channel render from per-path scalars -> H planes.
 
     Args:
@@ -935,9 +939,13 @@ def fused_render(gry, grz, gty, gtz, amp, psi, omega,
         the minor dim is a multiple of 128 lanes, which multiplies the
         output DMA bandwidth ~8x on this stack (benchmarks/perf_layout.py:
         165 GB/s at minor 64 vs 1.4 TB/s at minor 128).
+        out_dtype="bfloat16" stores H in bf16 straight from the kernel —
+        HALF the output bytes on the binding HBM-write floor, ~2^-8
+        relative rounding on H (serving mode; compute stays f32).
     """
     return _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape,
-                     tx_shape, n_k, user_tile, interpret, mm_dtype, packed)
+                     tx_shape, n_k, user_tile, interpret, mm_dtype, packed,
+                     out_dtype)
 
 
 def _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx: bool = False,
@@ -1004,7 +1012,12 @@ def _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx: bool = False,
 
 
 def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
-              n_k, user_tile, interpret, mm_dtype="float32", packed=False):
+              n_k, user_tile, interpret, mm_dtype="float32", packed=False,
+              out_dtype="float32"):
+    if out_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"out_dtype={out_dtype!r}: expected 'float32' "
+                         "or 'bfloat16'")
+    odt = jnp.dtype(out_dtype)
     u, p = omega.shape
     n_s = psi.shape[1] // p
     n_sa = amp.shape[1] // p                   # 1 or n_s (per-snapshot amp)
@@ -1054,12 +1067,12 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
     if packed:
         out_spec = pl.BlockSpec((user_tile, q, 2 * sk), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((u_pad, q, 2 * sk), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((u_pad, q, 2 * sk), odt)
     else:
         out_spec = pl.BlockSpec((2, user_tile, q, sk),
                                 lambda i: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((2, u_pad, q, sk), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((2, u_pad, q, sk), odt)
     kern = functools.partial(_kernel_norx if skip_rx else _kernel,
                              rx_shape=rx_shape, tx_shape=tx_shape,
                              n_k=n_k, l1=l1, mm_dtype=mm_dtype,
@@ -1087,9 +1100,10 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
 
 
 def _fwd(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape, n_k,
-         user_tile, interpret, mm_dtype, packed):
+         user_tile, interpret, mm_dtype, packed, out_dtype):
     out = _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape,
-                    tx_shape, n_k, user_tile, interpret, mm_dtype, packed)
+                    tx_shape, n_k, user_tile, interpret, mm_dtype, packed,
+                    out_dtype)
     return out, (gry, grz, gty, gtz, amp, psi, omega)
 
 
@@ -1105,7 +1119,8 @@ def _bwd_xla(rx_shape, tx_shape, n_k, packed, res, ct):
 
 
 def _bwd(rx_shape, tx_shape, n_k, user_tile, interpret, mm_dtype, packed,
-         res, ct):
+         out_dtype, res, ct):
+    ct = ct.astype(jnp.float32)          # bf16-out cotangents: f32 chain
     psi, omega = res[5], res[6]
     p = omega.shape[1]
     n_s = psi.shape[1] // p

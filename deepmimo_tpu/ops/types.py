@@ -171,6 +171,12 @@ class ChannelConfig:
     # which is ~8x output-DMA bandwidth on TPU (see ops/pallas/render.py);
     # it silently falls back to stacked when ineligible.
     planes_layout: str = "stacked"
+    # Output precision of the PLANES renderers ("float32" default;
+    # "bfloat16" halves the H output bytes — the binding HBM-write floor
+    # of the fused kernel — at ~2^-8 relative rounding on H. Serving
+    # feature for NN consumers (beam selection / CSI nets eat bf16);
+    # the canonical complex path and parity tests stay float32).
+    out_dtype: str = "float32"
 
     @property
     def n_rx_ant(self) -> int:

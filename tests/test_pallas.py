@@ -500,3 +500,61 @@ def test_fused_render_large_path_count_legacy_layout():
         scale = float(jnp.abs(b).max()) + 1e-12
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4 * scale)
+
+
+def test_fused_render_bf16_output_mode():
+    """out_dtype='bfloat16' serving mode: half the H bytes, ~2^-8 rel
+    rounding vs the f32 output; grads still flow (f32 chain)."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from oracle import make_synthetic_paths
+    from deepmimo_tpu.ops.types import (PathData, AntennaPanel,
+                                        ChannelConfig)
+    from deepmimo_tpu.ops.channel import (render_channels_planes,
+                                          unpack_planes_np)
+    from deepmimo_tpu.ops.pallas import render as R
+
+    data = make_synthetic_paths(n_ue=16, max_paths=6, seed=21)
+    paths = PathData.from_numpy(
+        power=data["power"], phase=data["phase"], delay=data["delay"],
+        aoa_az=data["aoa_az"], aoa_el=data["aoa_el"],
+        aod_az=data["aod_az"], aod_el=data["aod_el"], dtype=jnp.float32)
+    bs, ue = AntennaPanel.make((5, 0, 20)), AntennaPanel.make()
+    for layout in ("packed", "stacked"):
+        cfg32 = ChannelConfig(bs_shape=(4, 2), ue_shape=(1, 1),
+                              freq_domain=True, subcarriers=64,
+                              selected_subcarriers=tuple(range(16)),
+                              num_paths=6, backend="fused",
+                              planes_layout=layout)
+        cfg16 = dataclasses.replace(cfg32, out_dtype="bfloat16")
+        h32 = render_channels_planes(paths, bs, ue, cfg32)
+        h16 = render_channels_planes(paths, bs, ue, cfg16)
+        assert h16.dtype == jnp.bfloat16 and h32.dtype == jnp.float32
+        scale = float(jnp.abs(h32).max())
+        np.testing.assert_allclose(np.asarray(h16, np.float32),
+                                   np.asarray(h32), atol=2 ** -7 * scale)
+        # unpack widens to complex64
+        hc = unpack_planes_np(np.asarray(h16), cfg16)
+        assert hc.dtype == np.complex64
+
+    # XLA (non-fused) planes path honors out_dtype too
+    cfg_x = dataclasses.replace(cfg32, backend="xla")
+    cfg_x16 = dataclasses.replace(cfg_x, out_dtype="bfloat16")
+    hx16 = render_channels_planes(paths, bs, ue, cfg_x16)
+    assert hx16.dtype == jnp.bfloat16
+
+    # gradients flow through the bf16 output (cast back to f32 chain)
+    rng = np.random.RandomState(0)
+    mk = lambda *s: jnp.asarray(rng.uniform(-1, 1, s), jnp.float32)
+    args = (mk(8, 5), mk(8, 5), mk(8, 5), mk(8, 5),
+            jnp.abs(mk(8, 5)) * 1e-3, mk(8, 5), jnp.abs(mk(8, 5)))
+
+    def loss(a):
+        h = R.fused_render(*a, (1, 1), (2, 2), 8, 8, True, "float32",
+                           True, "bfloat16")
+        return jnp.sum(h.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(args)
+    assert all(bool(jnp.isfinite(x).all()) for x in g)
+    assert any(float(jnp.abs(x).max()) > 0 for x in g)
