@@ -174,3 +174,20 @@ def test_fused_polar_stacked_layout_matches_packed(tmp_path):
     for pol in POLS:
         np.testing.assert_allclose(stacked[pol], packed[pol], atol=1e-6,
                                    err_msg=pol)
+
+
+def test_fused_polar_bf16_output(tmp_path):
+    """Dual-polar + bf16 planes serving mode compose."""
+    f32 = _dataset_with_pols(tmp_path, seed=17).compute_channels(_params())
+    old = config.get("planes_out_dtype")
+    try:
+        config.set("planes_out_dtype", "bfloat16")
+        b16 = _dataset_with_pols(tmp_path, seed=17).compute_channels(
+            _params())
+    finally:
+        config.set("planes_out_dtype", old)
+    for pol in POLS:
+        assert b16[pol].dtype == np.complex64      # widened at unpack
+        scale = np.abs(f32[pol]).max() + 1e-30
+        np.testing.assert_allclose(b16[pol], f32[pol],
+                                   atol=2 ** -7 * scale, err_msg=pol)
