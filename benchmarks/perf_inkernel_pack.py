@@ -159,16 +159,17 @@ def main():
         "float32", True))
     fb = jax.jit(lambda a, b, c, d, e, _ut=512: fwd_ik(a, b, c, d, e,
                                                        _ut))
-    for name, f in (("prod_xla_pack", fa), ("inkernel_pack", fb)):
-        h = f(*args)
-        float(jax.device_get(h.ravel()[-1] if h.ndim == 3 else
-                             h[-1, -1, -1]))
-        ts = []
-        for _ in range(6):
-            ts.append(_t(lambda: float(jax.device_get(
+    fns = {"prod_xla_pack": fa, "inkernel_pack": fb}
+    for f in fns.values():                         # compile + warm
+        float(jax.device_get(f(*args)[-1, -1, -1]))
+    times = {k: [] for k in fns}
+    for _ in range(8):                             # interleaved A/B/A/B
+        for name, f in fns.items():
+            times[name].append(_t(lambda: float(jax.device_get(
                 f(*args)[-1, -1, -1]))) - t_rt)
+    for name, ts in times.items():
         log(f"{name}: best {min(ts)*1e3:7.2f} ms  median "
-            f"{sorted(ts)[3]*1e3:7.2f} ms  "
+            f"{sorted(ts)[len(ts)//2]*1e3:7.2f} ms  "
             f"({U / min(ts) / 1e6:.2f} M users/s)")
 
     # parity on a slice
