@@ -186,7 +186,8 @@ class Dataset(DotDict):
 
         if params.get(c.PARAMSET_POLAR_EN, 0):
             channel = self._compute_dual_polar(cfg, bs_panel, ue_panel,
-                                               to_device=to_device)
+                                               to_device=to_device,
+                                               out=out)
         else:
             channel = _render_streamed(self._path_data(cfg), bs_panel,
                                        ue_panel, cfg, to_device=to_device,
@@ -197,7 +198,7 @@ class Dataset(DotDict):
         return channel
 
     def _compute_dual_polar(self, cfg, bs_panel, ue_panel,
-                            to_device: bool = False):
+                            to_device: bool = False, out=None):
         """Dual-polarization channels: {'VV','VH','HH','HV'} -> H.
 
         Requires per-polarization power/phase matrices (``power_vv``,
@@ -243,12 +244,12 @@ class Dataset(DotDict):
                 cached = (pol_p, pol_ph)
                 self["_polar_data_cache"] = cached
             pol_p, pol_ph = cached
-            out = _render_polar_streamed(pd, bs_panel, ue_panel, cfg,
+            res = _render_polar_streamed(pd, bs_panel, ue_panel, cfg,
                                          pol_p, pol_ph,
-                                         to_device=to_device)
+                                         to_device=to_device, out=out)
             if to_device:
-                return out
-            return {pol: out[i] for i, pol in enumerate(pols)}
+                return res
+            return {pol: res[i] for i, pol in enumerate(pols)}
 
         if to_device:
             raise ValueError(
@@ -822,13 +823,26 @@ def _render_polar_jit(pd, bs_panel, ue_panel, cfg, pol_p, pol_ph):
                                         pol_p, pol_ph)
 
 
+@functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(6,))
+def _render_polar_jit_donate(pd, bs_panel, ue_panel, cfg, pol_p, pol_ph,
+                             scratch):
+    """Donating variant: ``scratch`` (a previous output) is reused so
+    back-to-back dual-polar serving calls run in constant device memory
+    (the 4x-sized H would otherwise double-allocate per call)."""
+    del scratch
+    from ..ops.channel import render_channels_planes_polar
+    return render_channels_planes_polar(pd, bs_panel, ue_panel, cfg,
+                                        pol_p, pol_ph)
+
+
 def _render_polar_streamed(path_data: PathData, bs_panel, ue_panel, cfg,
                            pol_power_dbw, pol_phase_deg,
-                           to_device: bool = False):
+                           to_device: bool = False, out=None):
     """Dual-polar render: one fused dispatch (or user-blocked streaming).
 
     Returns host complex [N_pol, U, R, T, K(, S)] — or, with
     ``to_device``, the raw device planes array in the kernel layout.
+    ``out`` donates a previous output's buffer (serving loops).
     """
     from ..ops.channel import unpack_polar_planes_np
 
@@ -848,8 +862,15 @@ def _render_polar_streamed(path_data: PathData, bs_panel, ue_panel, cfg,
     budget = int(config.get("max_device_output_bytes"))
 
     if to_device or out_bytes <= budget:
-        h = _render_polar_jit(path_data, bs_panel, ue_panel, cfg,
-                              pol_p, pol_ph)
+        if out is not None and (tuple(out.shape) != tuple(out_shape.shape)
+                                or out.dtype != out_shape.dtype):
+            out = None                   # config changed: nothing to donate
+        if out is not None:
+            h = _render_polar_jit_donate(path_data, bs_panel, ue_panel,
+                                         cfg, pol_p, pol_ph, out)
+        else:
+            h = _render_polar_jit(path_data, bs_panel, ue_panel, cfg,
+                                  pol_p, pol_ph)
         if to_device:
             return h
         return unpack_polar_planes_np(jax.device_get(h), cfg, n_pol)

@@ -191,3 +191,19 @@ def test_fused_polar_bf16_output(tmp_path):
         scale = np.abs(f32[pol]).max() + 1e-30
         np.testing.assert_allclose(b16[pol], f32[pol],
                                    atol=2 ** -7 * scale, err_msg=pol)
+
+
+def test_fused_polar_to_device_donated_loop(tmp_path):
+    """Serving loop: dual-polar to_device with out= donation reuses the
+    device buffer and keeps producing correct channels."""
+    import jax
+
+    ds = _dataset_with_pols(tmp_path, seed=19)
+    params = _params()
+    first = ds.compute_channels(params, to_device=True)
+    ref = np.asarray(jax.device_get(first))
+    h = first
+    for _ in range(3):
+        h = ds.compute_channels(params, to_device=True, out=h)
+    np.testing.assert_allclose(np.asarray(jax.device_get(h)), ref,
+                               atol=1e-6)
