@@ -875,21 +875,37 @@ def _render_polar_streamed(path_data: PathData, bs_panel, ue_panel, cfg,
             return h
         return unpack_polar_planes_np(jax.device_get(h), cfg, n_pol)
 
-    # Streamed blocks (device->host copy of block i overlaps block i+1).
+    # Streamed blocks (device->host copy of block i overlaps block i+1),
+    # with optional checkpoint/resume (config 'checkpoint_dir') like the
+    # single-pol streamer: long dual-polar jobs restart where they died.
     block = int(config.get("user_block"))
+    store = None
+    ckpt_root = config.get("checkpoint_dir")
+    if ckpt_root:
+        from .checkpoint import ChunkStore
+        store = ChunkStore(ckpt_root,
+                           ChunkStore.fingerprint(cfg, n_ue,
+                                                  {"polar": n_pol}))
+        store.write_manifest({"n_ue": n_ue, "block": block,
+                              "n_pol": n_pol})
     per_user_rot = np.asarray(bs_panel.rotation_deg).ndim == 2 or \
         np.asarray(ue_panel.rotation_deg).ndim == 2
     chunks: list = []
     inflight: list = []
 
     def collect(entry):
-        idx, size, h = entry
+        idx, start, size, h = entry
         arr = unpack_polar_planes_np(jax.device_get(h), cfg, n_pol)
         chunks[idx] = arr[:, :size]
+        if store is not None:
+            store.save_block(start, chunks[idx])
     for start in range(0, n_ue, block):
         size = min(block, n_ue - start)
         idx = len(chunks)
         chunks.append(None)
+        if store is not None and store.has_block(start):
+            chunks[idx] = store.load_block(start)[:, :size]
+            continue
         pd, bsp, uep = _slice_block(path_data, bs_panel, ue_panel,
                                     per_user_rot, start, size, block)
         pad = block - size
@@ -903,7 +919,7 @@ def _render_polar_streamed(path_data: PathData, bs_panel, ue_panel, cfg,
             h.copy_to_host_async()
         except Exception:
             pass
-        inflight.append((idx, size, h))
+        inflight.append((idx, start, size, h))
         if len(inflight) >= 2:
             collect(inflight.pop(0))
     for entry in inflight:

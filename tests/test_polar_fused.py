@@ -207,3 +207,33 @@ def test_fused_polar_to_device_donated_loop(tmp_path):
         h = ds.compute_channels(params, to_device=True, out=h)
     np.testing.assert_allclose(np.asarray(jax.device_get(h)), ref,
                                atol=1e-6)
+
+
+def test_fused_polar_streaming_checkpoint_resume(tmp_path):
+    """Dual-polar streaming writes checkpoint blocks and resumes from
+    them (blocks already on disk are not re-rendered)."""
+    single = _dataset_with_pols(tmp_path, seed=23).compute_channels(
+        _params())
+
+    ck = str(tmp_path / "ckpt")
+    old = {k: config.get(k) for k in ("max_device_output_bytes",
+                                      "user_block", "checkpoint_dir")}
+    try:
+        config.set("max_device_output_bytes", 1)
+        config.set("user_block", 8)
+        config.set("checkpoint_dir", ck)
+        a = _dataset_with_pols(tmp_path, seed=23).compute_channels(
+            _params())
+        import os
+        blocks = [f for root, _, fs in os.walk(ck) for f in fs
+                  if f.startswith("block_")]
+        assert len(blocks) == 3                    # 20 users / 8
+        # resume: fresh dataset, same config -> loads from disk
+        b = _dataset_with_pols(tmp_path, seed=23).compute_channels(
+            _params())
+    finally:
+        for k, v in old.items():
+            config.set(k, v)
+    for pol in POLS:
+        np.testing.assert_allclose(a[pol], single[pol], atol=1e-6)
+        np.testing.assert_allclose(b[pol], single[pol], atol=1e-6)
