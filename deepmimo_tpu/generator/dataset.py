@@ -1137,3 +1137,77 @@ class MacroDataset:
 
     def append(self, dataset):
         self.datasets.append(dataset)
+
+    def compute_channels_batched(self, params=None, to_device: bool = False,
+                                 out=None):
+        """ONE device dispatch for every child dataset (multi-TX render).
+
+        The reference generates multi-TX scenarios with one full
+        generator pass per (tx, rx) pair (its MacroDataset propagates
+        compute_channels child by child — so does ours by default). Here
+        the children's path matrices CONCATENATE on the user axis (path
+        slots NaN-padded to the widest child) and the fused kernel grids
+        over the combined batch — one dispatch, one compile, no
+        per-child dispatch overhead. Children share one
+        ChannelGenParameters (reference semantics) and FoV settings.
+
+        Returns a list of per-child channel tensors — or, with
+        ``to_device``, the COMBINED device planes array (children
+        stacked on the user axis in order; slice at the child offsets).
+        Dual-polarization is not supported here (use the per-child
+        path).
+        """
+        if not self.datasets:
+            raise IndexError("MacroDataset is empty")
+        if params is not None and params.get(c.PARAMSET_POLAR_EN, 0):
+            raise ValueError("compute_channels_batched does not support "
+                             "dual-polarization; call per dataset.")
+        if len(self.datasets) == 1:
+            res = self.datasets[0].compute_channels(
+                params, to_device=to_device, out=out)
+            return res if to_device else [res]
+
+        combined = getattr(self, "_batched_cache", None)
+        sizes = [d.n_ue for d in self.datasets]
+        if combined is None:
+            keys = [c.POWER_PARAM_NAME, c.PHASE_PARAM_NAME,
+                    c.DELAY_PARAM_NAME, c.AOA_AZ_PARAM_NAME,
+                    c.AOA_EL_PARAM_NAME, c.AOD_AZ_PARAM_NAME,
+                    c.AOD_EL_PARAM_NAME]
+            have_doppler = all(
+                d.get(c.DOPPLER_VEL_PARAM_NAME) is not None
+                for d in self.datasets)
+            if have_doppler:
+                keys += [c.DOPPLER_VEL_PARAM_NAME, c.DOPPLER_ACC_PARAM_NAME]
+            pmax = max(np.asarray(d[c.POWER_PARAM_NAME]).shape[1]
+                       for d in self.datasets)
+
+            def cat(key):
+                arrs = []
+                for d in self.datasets:
+                    a = np.asarray(d[key], dtype=np.float32)
+                    if a.shape[1] < pmax:
+                        a = np.pad(a, ((0, 0), (0, pmax - a.shape[1])),
+                                   constant_values=np.nan)
+                    arrs.append(a)
+                return np.concatenate(arrs, axis=0)
+
+            data = {k: cat(k) for k in keys}
+            data[c.RX_POS_PARAM_NAME] = np.concatenate(
+                [np.asarray(d[c.RX_POS_PARAM_NAME], np.float32)
+                 for d in self.datasets], axis=0)
+            data[c.TX_POS_PARAM_NAME] = np.asarray(
+                self.datasets[0][c.TX_POS_PARAM_NAME], np.float32)
+            combined = Dataset(data)
+            for k in ("bs_fov", "ue_fov"):
+                v = self.datasets[0].get(k)
+                if v is not None:
+                    combined[k] = v
+            self._batched_cache = combined
+
+        ch = combined.compute_channels(params, to_device=to_device,
+                                       out=out)
+        if to_device:
+            return ch
+        offs = np.cumsum([0] + sizes)
+        return [ch[offs[i]:offs[i + 1]] for i in range(len(sizes))]

@@ -441,3 +441,46 @@ def test_array_response_product_size_guard(scenario):
             _ = ds.array_response_product
     finally:
         config.set("max_array_product_bytes", old)
+
+
+def test_macro_dataset_batched_render(tmp_path):
+    """MacroDataset.compute_channels_batched: one dispatch == per-child.
+
+    Children with DIFFERENT max_paths (NaN-padded to the widest) and
+    different sizes; the reference renders one generator pass per
+    (tx, rx) pair.
+    """
+    from deepmimo_tpu.generator.dataset import MacroDataset
+    from scenario_utils import write_synthetic_scenario
+
+    children = []
+    for i, (n, mp, grid) in enumerate([(16, 6, (4, 4)), (8, 4, (4, 2))]):
+        folder = str(tmp_path / f"m{i}")
+        write_synthetic_scenario(folder, n_ue=n, max_paths=mp, seed=30 + i,
+                                 grid=grid)
+        children.append(dm.load(folder))
+    macro = MacroDataset(children)
+
+    def params():
+        p = dm.ChannelGenParameters()
+        p[c.PARAMSET_ANT_BS][c.PARAMSET_ANT_SHAPE] = np.array([4, 2])
+        p[c.PARAMSET_OFDM][c.PARAMSET_OFDM_SC_SAMP] = np.arange(8)
+        return p
+
+    per_child = macro.compute_channels(params())       # propagated loop
+    batched = macro.compute_channels_batched(params())
+    assert len(batched) == 2
+    for a, b in zip(batched, per_child):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # cache reuse: second call must not rebuild and stays correct
+    again = macro.compute_channels_batched(params())
+    for a, b in zip(again, per_child):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # dual-polar refuses cleanly
+    p = params()
+    p[c.PARAMSET_POLAR_EN] = 1
+    with pytest.raises(ValueError, match="dual-polar"):
+        macro.compute_channels_batched(p)
