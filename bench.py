@@ -93,12 +93,18 @@ def bench_tpu(data):
     # Relay round-trip floor (tiny op + scalar readback). On this runtime
     # block_until_ready can return before execution finishes, so the only
     # honest sync is a data readback; its latency is measured and
-    # subtracted once per sweep.
+    # subtracted once per sweep. Progress goes to stderr so a driver
+    # timeout still shows WHERE the run died (a relay cold start can
+    # take 5-16 minutes on the first compile).
+    print("# bench: warming relay (tiny jit; cold start can take "
+          "minutes)...", file=sys.stderr, flush=True)
     tiny = jnp.ones((8, 128))
     f_tiny = jax.jit(lambda x: jnp.sum(x * 1.000001))
     float(jax.device_get(f_tiny(tiny)))  # warm
     t_rt = min(_timed(lambda: float(jax.device_get(f_tiny(tiny))))
                for _ in range(5))
+    print(f"# bench: relay up (rt {t_rt*1e3:.1f} ms); compiling the "
+          "render executable...", file=sys.stderr, flush=True)
 
     # Pre-allocate the output buffer so ONLY the donated-output executable
     # compiles (out=None would compile a second executable — ~60-90 s of
