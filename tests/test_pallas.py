@@ -558,3 +558,30 @@ def test_fused_render_bf16_output_mode():
     g = jax.grad(loss)(args)
     assert all(bool(jnp.isfinite(x).all()) for x in g)
     assert any(float(jnp.abs(x).max()) > 0 for x in g)
+
+
+def test_fused_render_per_snapshot_amp_legacy_layout():
+    """Per-snapshot amplitudes on the g=1 legacy layout (P > 64)."""
+    from deepmimo_tpu.ops.pallas import render as R
+
+    rng = np.random.RandomState(8)
+    U, P, K, S = 10, 72, 8, 2
+    assert R._grouping(P)[0] == 1
+    mk = lambda lo, hi, *s: jnp.asarray(rng.uniform(lo, hi, s), jnp.float32)
+    args = (mk(-3, 3, U, P), mk(-3, 3, U, P), mk(-3, 3, U, P),
+            mk(-3, 3, U, P), mk(0, 1e-3, U, S * P),
+            mk(-3, 3, U, S * P), mk(0, 6, U, P))
+    ref = R._reference_impl(*args, (1, 1), (2, 2), K)
+    out = R.fused_render(*args, (1, 1), (2, 2), K, 8, True)
+    for a, b in zip(ref, out):
+        scale = float(jnp.abs(a).max())
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-5 * scale)
+    ct = mk(-1, 1, 2, U, 4, S * K)
+    g_pal = R._bwd_impl(*args, ct, (1, 1), (2, 2), K, 8, True,
+                        "float32", False)
+    g_ref = R._bwd_xla((1, 1), (2, 2), K, False, args, ct)
+    for a, b in zip(g_pal, g_ref):
+        scale = float(jnp.abs(b).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4 * scale)
