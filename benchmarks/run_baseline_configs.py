@@ -81,21 +81,34 @@ def bench_tpu(data, spec):
     ue = AntennaPanel.make()
     paths = PathData.from_numpy(**data, dtype=jnp.float32)
 
-    # Block size bounded by output-tensor HBM footprint (~2 GB per block)
+    # Block size bounded by output-tensor HBM footprint. Big blocks
+    # matter: per-dispatch host overhead is ~5-6 ms on this relay, so a
+    # 32-block sweep is dispatch-bound (config 3 measured 497k users/s
+    # at 1 GB blocks vs 2.3M for the same kernel dispatched in one
+    # piece). ~4 GB per block x a 2-deep window stays under HBM.
     q = int(np.prod(spec["bs_shape"]) * np.prod(spec["ue_shape"]))
     lastdim = (len(spec["k"]) if spec["freq_domain"] else MAX_PATHS) * \
         spec.get("n_times", 1)
-    block = min(N_UE, max(4096, int(1e9 / (q * lastdim * 8))))
+    block = min(N_UE, max(4096, int(4e9 / (q * lastdim * 8))))
     block = 1 << int(np.log2(block))
     n_blocks = max(N_UE // block, 1)
 
     from deepmimo_tpu.ops.channel import render_channels_planes
     # Slice inside jit: eager slice_users costs ~5 ms/block in dispatch.
+    # The previous block's output buffer is DONATED: blocked sweeps run
+    # in constant device memory (allocating/freeing multi-GB outputs per
+    # block stalls the allocator on big-q configs).
     render = jax.jit(
-        lambda p, b, u, i: render_channels_planes(
-            p.slice_users(i, block), b, u, cfg))
+        lambda p, b, u, i, scratch: render_channels_planes(
+            p.slice_users(i, block), b, u, cfg),
+        donate_argnums=(4,))
     dev_paths = jax.device_put(paths)
-    out = render(dev_paths, bs, ue, 0)
+    oshape = jax.eval_shape(
+        lambda p, b, u: render_channels_planes(p.slice_users(0, block),
+                                               b, u, cfg),
+        dev_paths, bs, ue)
+    out = render(dev_paths, bs, ue, 0,
+                 jnp.zeros(oshape.shape, oshape.dtype))
     # block_until_ready returns early through the relay: sync via readback
     float(jax.device_get(out[(-1,) * out.ndim]))
 
@@ -107,16 +120,10 @@ def bench_tpu(data, spec):
                for _ in range(5))
 
     def sweep():
-        # Bounded in-flight window: holding every block's output live
-        # OOMs HBM at 131k users x big-q configs (32 x ~1 GB); dropping
-        # the oldest ref lets its buffer free once executed while the
-        # dispatch pipeline stays async.
-        window = []
+        nonlocal out
         for i in range(n_blocks):
-            window.append(render(dev_paths, bs, ue, i * block))
-            if len(window) > 4:
-                window.pop(0)
-        float(jax.device_get(window[-1][(-1,) * window[-1].ndim]))
+            out = render(dev_paths, bs, ue, i * block, out)
+        float(jax.device_get(out[(-1,) * out.ndim]))
 
     best = min(_timed(sweep) for _ in range(3))
     return n_blocks * block / max(best - t_rt, 1e-9)
