@@ -17,6 +17,7 @@ Usage::
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 from . import consts as c
@@ -48,6 +49,16 @@ class DeepMIMOConfig:
         # relative rounding) — a serving mode for NN consumers. The
         # canonical complex outputs and parity tests stay float32.
         "planes_out_dtype": "float32",
+        # Fused-kernel layout debug knobs. These flow into ChannelConfig
+        # (params.to_config) so they participate in every jit cache key —
+        # toggling after a trace RETRACES instead of silently reusing the
+        # stale kernel (round-4 ADVICE: module globals read at trace time
+        # were outside the cache key). Env vars only seed the defaults at
+        # import; set via config.set(...) afterwards.
+        "kernel_no_pack": bool(int(os.environ.get("DM_RENDER_NO_PACK",
+                                                  "0"))),
+        "kernel_pack_first": bool(int(os.environ.get(
+            "DM_RENDER_PACK_FIRST", "0"))),
         "user_block": 16384,              # users per block when streaming to host
         # compute_channels renders in ONE dispatch when the output tensor
         # fits this budget (bytes); larger outputs stream over user_block

@@ -157,6 +157,9 @@ class ChannelGenParameters(DotDict):
             planes_layout=_config.get("planes_layout", "packed"),
             matmul_dtype=_config.get("matmul_dtype", "float32"),
             out_dtype=_config.get("planes_out_dtype", "float32"),
+            kernel_no_pack=bool(_config.get("kernel_no_pack", False)),
+            kernel_pack_first=bool(_config.get("kernel_pack_first",
+                                               False)),
         )
 
         if ue_rotation is None:

@@ -351,7 +351,8 @@ def _fused_render_eligible(cfg: ChannelConfig) -> bool:
     return pick_user_tile(0, cfg.ue_shape, cfg.bs_shape, cfg.num_paths,
                           len(cfg.selected_subcarriers),
                           _fused_n_snap(cfg),
-                          mm_dtype=cfg.matmul_dtype) > 0
+                          mm_dtype=cfg.matmul_dtype,
+                          no_pack=cfg.kernel_no_pack) > 0
 
 
 def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
@@ -412,7 +413,8 @@ def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
     n_k = len(cfg.selected_subcarriers)
     ut = pick_user_tile(u, cfg.ue_shape, cfg.bs_shape,
                         cfg.num_paths, n_k, n_s,
-                        mm_dtype=cfg.matmul_dtype)
+                        mm_dtype=cfg.matmul_dtype,
+                        no_pack=cfg.kernel_no_pack)
     interpret = jax.default_backend() == "cpu"
     packed = _packed_layout(cfg)
     sh = lambda x: x.reshape(u, p)
@@ -421,7 +423,9 @@ def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
                      cfg.ue_shape, cfg.bs_shape, n_k,
                      user_tile=ut, interpret=interpret,
                      mm_dtype=cfg.matmul_dtype, packed=packed,
-                     out_dtype=cfg.out_dtype)
+                     out_dtype=cfg.out_dtype,
+                     no_pack=cfg.kernel_no_pack,
+                     pack_first=cfg.kernel_pack_first)
     r = cfg.ue_shape[0] * cfg.ue_shape[1]
     t = cfg.bs_shape[0] * cfg.bs_shape[1]
     if packed:                       # [U, Q, 2*S*K] -> [U, R, T, 2*S*K]
@@ -443,7 +447,8 @@ def polar_fused_eligible(cfg: ChannelConfig, n_pol: int = 4) -> bool:
     return pick_user_tile(0, cfg.ue_shape, cfg.bs_shape, cfg.num_paths,
                           len(cfg.selected_subcarriers),
                           n_pol * _fused_n_snap(cfg),
-                          mm_dtype=cfg.matmul_dtype) > 0
+                          mm_dtype=cfg.matmul_dtype,
+                          no_pack=cfg.kernel_no_pack) > 0
 
 
 def _polar_packed_layout(cfg: ChannelConfig, n_pol: int = 4) -> bool:
@@ -567,7 +572,8 @@ def render_channels_planes_polar(paths: PathData, bs: AntennaPanel,
 
     n_k = len(cfg.selected_subcarriers)
     ut = pick_user_tile(u, cfg.ue_shape, cfg.bs_shape, cfg.num_paths,
-                        n_k, st, mm_dtype=cfg.matmul_dtype)
+                        n_k, st, mm_dtype=cfg.matmul_dtype,
+                        no_pack=cfg.kernel_no_pack)
     interpret = jax.default_backend() == "cpu"
     packed = _polar_packed_layout(cfg, n_pol)
     sh = lambda x: x.reshape(u, p)
@@ -575,7 +581,9 @@ def render_channels_planes_polar(paths: PathData, bs: AntennaPanel,
                      amp, psi, omega, cfg.ue_shape, cfg.bs_shape, n_k,
                      user_tile=ut, interpret=interpret,
                      mm_dtype=cfg.matmul_dtype, packed=packed,
-                     out_dtype=cfg.out_dtype)
+                     out_dtype=cfg.out_dtype,
+                     no_pack=cfg.kernel_no_pack,
+                     pack_first=cfg.kernel_pack_first)
     r = cfg.ue_shape[0] * cfg.ue_shape[1]
     t = cfg.bs_shape[0] * cfg.bs_shape[1]
     if packed:

@@ -48,18 +48,24 @@ if _ABLATE:  # loud, unmissable — guards against leaked env vars
         "channel matrices (perf-bisect ablation mode). Unset it for any "
         "non-benchmark use.", RuntimeWarning, stacklevel=2)
 
-# Debug escape hatch: DM_RENDER_NO_PACK=1 (or render.NO_PACK = True
-# before the first trace) disables the 32-aligned user packing and falls
-# back to the legacy one-user-per-row layout. Packing is the DEFAULT:
-# measured 7.86 ms vs 20.4 ms per 131k-user chunk on the headline config
-# (benchmarks/perf_pack32.py / perf_pack32c.py, same-run comparison).
-# CAVEAT: read at TRACE time and not part of any jit cache key — toggle
-# only at process start (tests/benchmarks).
+# Debug escape hatch: DM_RENDER_NO_PACK=1 disables the 32-aligned user
+# packing and falls back to the legacy one-user-per-row layout. Packing
+# is the DEFAULT: measured 7.86 ms vs 20.4 ms per 131k-user chunk on the
+# headline config (benchmarks/perf_pack32.py / perf_pack32c.py, same-run
+# comparison).
+#
+# The PRODUCT path does NOT read these module globals: the layout flags
+# are ChannelConfig fields (kernel_no_pack / kernel_pack_first, seeded
+# from the config singleton in params.to_config) passed explicitly as
+# static args, so they participate in every jit cache key — toggling
+# config after a trace retraces instead of returning a stale kernel.
+# The globals only seed the default when a direct fused_render caller
+# (benchmarks, ablation probes) leaves no_pack/pack_first as None.
 NO_PACK = bool(int(os.environ.get("DM_RENDER_NO_PACK", "0")))
 
 # Prologue ordering for the packed layout: pack the 7 raw inputs then
 # trig on packed arrays (True), or trig on flat views then pack the 13
-# outputs (False). Trace-time; perf A/B only (results identical).
+# outputs (False). Perf A/B only (results identical).
 PACK_FIRST = bool(int(os.environ.get("DM_RENDER_PACK_FIRST", "0")))
 
 import jax
@@ -88,7 +94,7 @@ def _best_l1(k: int) -> int:
     return best
 
 
-def _grouping(p: int) -> Tuple[int, int]:
+def _grouping(p: int, no_pack=None) -> Tuple[int, int]:
     """(group, pp): users per 128-lane group, per-user padded path lanes.
 
     A [U, P] f32 per-path array is (8, 128)-tile padded on TPU: at P = 25
@@ -105,7 +111,7 @@ def _grouping(p: int) -> Tuple[int, int]:
     P > 64 (pp > 64) falls back to the legacy one-user-per-row layout
     (group = 1, lanes = ceil(P, 128)).
     """
-    if NO_PACK:
+    if NO_PACK if no_pack is None else no_pack:
         return 1, _ceil_to(max(p, 1), 128)
     pp = _ceil_to(max(p, 1), 32)
     if pp <= 64:
@@ -497,7 +503,7 @@ def _kernel_norx(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, amp_ref, cpsi_ref,
 
 def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
                   n_k: int, n_s: int = 1,
-                  mm_dtype: str = "float32") -> int:
+                  mm_dtype: str = "float32", no_pack=None) -> int:
     """Rough VMEM bytes for one tile (padded to (8, 128) f32 tiles).
 
     Packed layout (group > 1, the default for P <= 64): per-path stages
@@ -509,7 +515,7 @@ def vmem_estimate(user_tile: int, rx_shape, tx_shape, p: int,
     caused the round-3 scoped-VMEM compile regression (the packed layout
     fuses the 3 hi/lo terms into one concat-dot; see _slice_dot_mode).
     """
-    g, pp = _grouping(p)
+    g, pp = _grouping(p, no_pack)
     ug = max(1, user_tile // g)
     lanes = g * pp if g > 1 else _ceil_to(p, 128)
     vm = lambda rows: ug * _ceil_to(max(rows, 1), 8) * lanes * 4
@@ -569,7 +575,7 @@ def _compiler_params(est: int):
 
 def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
                    n_s: int = 1, budget: int = 104 * 2**20,
-                   mm_dtype: str = "float32") -> int:
+                   mm_dtype: str = "float32", no_pack=None) -> int:
     """Largest tile under the VMEM budget (0 = does not fit; u is padded
     up to a tile multiple by the caller, so no divisibility constraint).
 
@@ -581,12 +587,12 @@ def pick_user_tile(u: int, rx_shape, tx_shape, p: int, n_k: int,
     lane-packing group so every residue's rows fill whole sublane
     granules; candidate ug caps at 128 rows (ut = 512 at group 4).
     """
-    g, _pp = _grouping(p)
+    g, _pp = _grouping(p, no_pack)
     picked = 0
     for ug in (128, 64, 32, 16, 8):
         ut = g * ug
         if vmem_estimate(ut, rx_shape, tx_shape, p, n_k, n_s,
-                         mm_dtype) <= budget:
+                         mm_dtype, no_pack) <= budget:
             if picked == 0:
                 picked = ut            # largest tile that fits
             if u and ut >= u:
@@ -766,13 +772,13 @@ def _bwd_kernel_norx(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, amp_ref,
 
 def vmem_estimate_bwd(user_tile: int, rx_shape, tx_shape, p: int,
                       n_k: int, n_s: int = 1,
-                      mm_dtype: str = "float32") -> int:
+                      mm_dtype: str = "float32", no_pack=None) -> int:
     """Rough VMEM bytes for one backward tile (f32, (8, 128) padding).
 
     Lane-packed like the forward: per-path intermediates have
     ug = user_tile / group rows; the cotangent tile stays per-user sized.
     """
-    g, pp = _grouping(p)
+    g, pp = _grouping(p, no_pack)
     ug = max(1, user_tile // g)
     lanes = g * pp if g > 1 else _ceil_to(p, 128)
     vm = lambda rows: ug * _ceil_to(max(rows, 1), 8) * lanes * 4
@@ -808,25 +814,28 @@ def vmem_estimate_bwd(user_tile: int, rx_shape, tx_shape, p: int,
 
 def pick_user_tile_bwd(rx_shape, tx_shape, p: int, n_k: int,
                        n_s: int = 1, budget: int = 64 * 2**20,
-                       mm_dtype: str = "float32") -> int:
+                       mm_dtype: str = "float32", no_pack=None) -> int:
     """Largest backward tile under the VMEM budget (0 = does not fit)."""
-    g, _pp = _grouping(p)
+    g, _pp = _grouping(p, no_pack)
     for ug in (64, 32, 16, 8):
         ut = g * ug
         if vmem_estimate_bwd(ut, rx_shape, tx_shape, p, n_k, n_s,
-                             mm_dtype) <= budget:
+                             mm_dtype, no_pack) <= budget:
             return ut
     return 0
 
 
 def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
-              n_k, user_tile, interpret, mm_dtype, packed):
+              n_k, user_tile, interpret, mm_dtype, packed,
+              no_pack=None, pack_first=None):
+    if pack_first is None:
+        pack_first = PACK_FIRST
     u, p = omega.shape
     n_s = psi.shape[1] // p
     n_sa = amp.shape[1] // p                   # 1 or n_s (per-snapshot amp)
     q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
     sk = n_s * n_k
-    g, pp = _grouping(p)
+    g, pp = _grouping(p, no_pack)
     user_tile = max(g, (user_tile // g) * g)
     ug = user_tile // g
     u_pad = _ceil_to(u, user_tile)
@@ -840,7 +849,7 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
                                      padr(psi), padr(omega))
         pad_u = ((0, u_pad - u), (0, 0), (0, 0))
         ct = jnp.pad(ct, pad_u if packed else ((0, 0),) + pad_u)
-    if g > 1 and PACK_FIRST:
+    if g > 1 and pack_first:
         args = _trig_args(gry, grz, gty, gtz, amp, psi, omega,
                           skip_rx=skip_rx, pack=(nb, g, ug, pp))
     else:
@@ -886,7 +895,7 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(
             vmem_estimate_bwd(user_tile, rx_shape, tx_shape, p, n_k, n_s,
-                              mm_dtype)),
+                              mm_dtype, no_pack)),
     )(*args, ct)
     if g > 1:
         grads = [_unpack_rows(x, nb, g, ug, pp, p) for x in grads]
@@ -901,13 +910,14 @@ def _bwd_impl(gry, grz, gty, gtz, amp, psi, omega, ct, rx_shape, tx_shape,
 # ----------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14))
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
 def fused_render(gry, grz, gty, gtz, amp, psi, omega,
                  rx_shape: Tuple[int, int], tx_shape: Tuple[int, int],
                  n_k: int, user_tile: int = 16, interpret: bool = False,
                  mm_dtype: str = "float32",
                  packed: bool = False,
-                 out_dtype: str = "float32") -> jax.Array:
+                 out_dtype: str = "float32",
+                 no_pack=None, pack_first=None) -> jax.Array:
     """Fused channel render from per-path scalars -> H planes.
 
     Args:
@@ -945,7 +955,7 @@ def fused_render(gry, grz, gty, gtz, amp, psi, omega,
     """
     return _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape,
                      tx_shape, n_k, user_tile, interpret, mm_dtype, packed,
-                     out_dtype)
+                     out_dtype, no_pack, pack_first)
 
 
 def _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx: bool = False,
@@ -1013,16 +1023,18 @@ def _trig_args(gry, grz, gty, gtz, amp, psi, omega, skip_rx: bool = False,
 
 def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
               n_k, user_tile, interpret, mm_dtype="float32", packed=False,
-              out_dtype="float32"):
+              out_dtype="float32", no_pack=None, pack_first=None):
     if out_dtype not in ("float32", "bfloat16"):
         raise ValueError(f"out_dtype={out_dtype!r}: expected 'float32' "
                          "or 'bfloat16'")
+    if pack_first is None:
+        pack_first = PACK_FIRST
     odt = jnp.dtype(out_dtype)
     u, p = omega.shape
     n_s = psi.shape[1] // p
     n_sa = amp.shape[1] // p                   # 1 or n_s (per-snapshot amp)
     q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
-    g, pp = _grouping(p)
+    g, pp = _grouping(p, no_pack)
     user_tile = max(g, (user_tile // g) * g)
     ug = user_tile // g
     u_pad = _ceil_to(u, user_tile)
@@ -1037,7 +1049,7 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
         gty, gtz, amp, psi, omega = (padr(gty), padr(gtz), padr(amp),
                                      padr(psi), padr(omega))
     if g > 1 and "nopack" not in _ABLATE:
-        if PACK_FIRST:
+        if pack_first:
             # Pack the 7 raw inputs, trig on the packed (dense) arrays:
             # 7 transposes instead of 13 (see _trig_args).
             args = _trig_args(gry, grz, gty, gtz, amp, psi, omega,
@@ -1092,7 +1104,7 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
         # on EVERY layout (round-3 regression: this was gated on g > 1).
         compiler_params=None if interpret else _compiler_params(
             vmem_estimate(user_tile, rx_shape, tx_shape, p, n_k, n_s,
-                          mm_dtype)),
+                          mm_dtype, no_pack)),
     )(*args)
     if u_pad == u:
         return h
@@ -1100,10 +1112,11 @@ def _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape,
 
 
 def _fwd(gry, grz, gty, gtz, amp, psi, omega, rx_shape, tx_shape, n_k,
-         user_tile, interpret, mm_dtype, packed, out_dtype):
+         user_tile, interpret, mm_dtype, packed, out_dtype, no_pack,
+         pack_first):
     out = _fwd_impl(gry, grz, gty, gtz, amp, psi, omega, rx_shape,
                     tx_shape, n_k, user_tile, interpret, mm_dtype, packed,
-                    out_dtype)
+                    out_dtype, no_pack, pack_first)
     return out, (gry, grz, gty, gtz, amp, psi, omega)
 
 
@@ -1119,17 +1132,17 @@ def _bwd_xla(rx_shape, tx_shape, n_k, packed, res, ct):
 
 
 def _bwd(rx_shape, tx_shape, n_k, user_tile, interpret, mm_dtype, packed,
-         out_dtype, res, ct):
+         out_dtype, no_pack, pack_first, res, ct):
     ct = ct.astype(jnp.float32)          # bf16-out cotangents: f32 chain
     psi, omega = res[5], res[6]
     p = omega.shape[1]
     n_s = psi.shape[1] // p
     ut = pick_user_tile_bwd(rx_shape, tx_shape, p, n_k, n_s,
-                            mm_dtype=mm_dtype)
+                            mm_dtype=mm_dtype, no_pack=no_pack)
     if not _PALLAS_OK or ut == 0:
         return _bwd_xla(rx_shape, tx_shape, n_k, packed, res, ct)
     return _bwd_impl(*res, ct, rx_shape, tx_shape, n_k, ut, interpret,
-                     mm_dtype, packed)
+                     mm_dtype, packed, no_pack, pack_first)
 
 
 fused_render.defvjp(_fwd, _bwd)

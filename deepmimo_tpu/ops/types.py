@@ -171,6 +171,13 @@ class ChannelConfig:
     # which is ~8x output-DMA bandwidth on TPU (see ops/pallas/render.py);
     # it silently falls back to stacked when ineligible.
     planes_layout: str = "stacked"
+    # Fused-kernel layout debug knobs (hashable => part of every jit
+    # cache key; see ops/pallas/render.py). kernel_no_pack=True falls
+    # back to the legacy one-user-per-row lane layout; kernel_pack_first
+    # packs the 7 raw inputs before the trig prologue (perf A/B only —
+    # results are identical).
+    kernel_no_pack: bool = False
+    kernel_pack_first: bool = False
     # Output precision of the PLANES renderers ("float32" default;
     # "bfloat16" halves the H output bytes — the binding HBM-write floor
     # of the fused kernel — at ~2^-8 relative rounding on H. Serving

