@@ -440,15 +440,39 @@ def _kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
 
     r = rx_shape[0] * rx_shape[1]
     t = tx_shape[0] * tx_shape[1]
-    er, ei, _, _ = _panel_er_ei(
-        (cgry_ref[:], sgry_ref[:], cgrz_ref[:], sgrz_ref[:]),
-        (cgty_ref[:], sgty_ref[:], cgtz_ref[:], sgtz_ref[:]),
-        rx_shape, tx_shape)
-    gr, gi = _ofdm_tables(cpsi_ref[:], spsi_ref[:], com_ref[:], som_ref[:],
-                          amp, n_k, l1)
-
     q = r * t
     sk = n_s * n_k
+    lanes = amp.shape[-1]
+
+    if "writeonly" in _ABLATE:
+        # Perf-bisect only (WRONG output): pure output-DMA floor probe.
+        if packed:
+            h_ref[:] = jnp.full((h_ref.shape[0], q, 2 * sk), 1.2345,
+                                h_ref.dtype)
+        else:
+            h_ref[:] = jnp.full((2, h_ref.shape[1], q, sk), 1.2345,
+                                h_ref.dtype)
+        return
+
+    if "nopanel" in _ABLATE:
+        # Perf-bisect only (WRONG output): skip the panel outer product.
+        base = cgty_ref[:]
+        er = jnp.broadcast_to(base[:, None, :] * 0.5 + 1.0, (ug, q, lanes))
+        ei = jnp.broadcast_to(base[:, None, :] * 0.25, (ug, q, lanes))
+    else:
+        er, ei, _, _ = _panel_er_ei(
+            (cgry_ref[:], sgry_ref[:], cgrz_ref[:], sgrz_ref[:]),
+            (cgty_ref[:], sgty_ref[:], cgtz_ref[:], sgtz_ref[:]),
+            rx_shape, tx_shape)
+
+    if "notables" in _ABLATE:
+        # Perf-bisect only (WRONG output): skip the subcarrier tables.
+        b2 = cpsi_ref[:][:, :1, :]
+        gr = jnp.broadcast_to(amp[:, :1, :] * 0.5 + b2, (ug, sk, lanes))
+        gi = jnp.broadcast_to(amp[:, :1, :] * 0.25, (ug, sk, lanes))
+    else:
+        gr, gi = _ofdm_tables(cpsi_ref[:], spsi_ref[:], com_ref[:],
+                              som_ref[:], amp, n_k, l1)
     dn = (((2,), (2,)), ((0,), (0,)))
     # Full-height operands: ONE 2q-row dot per residue — two q-row dots
     # measured ~2x slower (half-empty MXU passes).
@@ -467,8 +491,20 @@ def _kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
 
     n_res = 1 if "oneres" in _ABLATE else group
     for res in range(n_res):
-        m = dot(e2p, g2p) if group == 1 else dot_at(ea, ga, res * n_paths)
+        if "nodot" in _ABLATE:
+            # Perf-bisect only (WRONG output): consume e2/g2, skip MXU.
+            s_e = e2.sum(axis=2, keepdims=True)              # [ug, 2q, 1]
+            s_g = g2.sum(axis=1, keepdims=True)              # [ug, 1, L]
+            m = jnp.broadcast_to(s_e + s_g[:, :, :1],
+                                 (ug, 2 * q, 2 * sk)).astype(jnp.float32)
+        else:
+            m = dot(e2p, g2p) if group == 1 else dot_at(ea, ga,
+                                                        res * n_paths)
         rows = slice(res * ug, (res + 1) * ug)
+        if "noreassemble" in _ABLATE and packed:
+            # Perf-bisect only (WRONG output): store without roll/select.
+            h_ref[rows] = m[:, :q, :].astype(h_ref.dtype)
+            continue
         if packed:
             # Packed (hr||hi)-on-lanes output rows [ug, q, 2sk]: with sk a
             # multiple of 64 the minor dim is 128-lane aligned — the
