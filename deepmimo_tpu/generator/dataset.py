@@ -276,6 +276,68 @@ class Dataset(DotDict):
             channels[pol] = _render_streamed(pd, bs_panel, ue_panel, cfg)
         return channels
 
+    def compute_beam_gains(self, params: Optional[ChannelGenParameters]
+                           = None, codebook=None,
+                           to_device: bool = False) -> np.ndarray:
+        """Codebook beam-gain maps G = |conj(W) . H|^2 without H.
+
+        The fused consumer path (ops/pallas/beamgain.py): the codebook
+        folds INTO the path-sum kernel, so the full channel tensor is
+        never materialized — not in HBM, not on the host. The serving
+        primitive for beam training / initial access / coverage maps
+        (the reference computes these host-side from full H).
+
+        Args:
+            codebook: complex [n_beams, n_tx_ant] array, or an
+                (wr, wi) tuple of real/imag planes. Gains match
+                ``np.abs(H @ codebook.conj().T)**2``.
+            to_device: return the raw device array [U, R*B, S*K].
+
+        Returns [n_ue, n_rx_ant, n_beams, K] float32 (an extra trailing
+        time axis for multi-snapshot Doppler).
+        """
+        if codebook is None:
+            raise ValueError("compute_beam_gains requires a codebook "
+                             "([n_beams, n_tx_ant] complex, or an "
+                             "(wr, wi) tuple)")
+        if params is None:
+            stored = self.get(c.CH_PARAMS_PARAM_NAME)
+            params = ChannelGenParameters() if stored is None else stored
+        params = self.set_channel_params(params)
+        np.random.seed(1001)
+        ue_rotation = params.resolve_ue_rotation(self.n_ue)
+        cfg, bs_panel, ue_panel = params.to_config(
+            self.n_ue,
+            bs_fov=self.get("bs_fov"), ue_fov=self.get("ue_fov"),
+            ue_rotation=ue_rotation,
+            dtype=config.get("compute_dtype"))
+
+        if isinstance(codebook, tuple):
+            wr, wi = (np.asarray(x, np.float32) for x in codebook)
+        else:
+            cb = np.asarray(codebook)
+            wr = np.real(cb).astype(np.float32)
+            wi = np.imag(cb).astype(np.float32)
+        if wr.ndim != 2 or wr.shape[1] != cfg.n_tx_ant:
+            raise ValueError(
+                f"codebook must be [n_beams, {cfg.n_tx_ant}] for this "
+                f"antenna config; got {wr.shape}")
+
+        from ..ops.channel import render_beam_gains
+        pd = self._path_data(cfg)
+        g = render_beam_gains(pd, bs_panel, ue_panel, cfg,
+                              jnp.asarray(wr), jnp.asarray(wi))
+        if to_device:
+            return g
+        arr = np.asarray(jax.device_get(g))
+        r, b = cfg.n_rx_ant, wr.shape[0]
+        n_s = (len(cfg.doppler_times) if cfg.enable_doppler else 1)
+        n_k = cfg.n_sel_subcarriers
+        arr = arr.reshape(self.n_ue, r, b, n_s, n_k)
+        if n_s > 1:
+            return arr.transpose(0, 1, 2, 4, 3)     # time axis last
+        return arr[:, :, :, 0, :]
+
     def _path_data(self, cfg=None) -> PathData:
         """Masked device pytree of this dataset's path matrices (cached)."""
         cached = self.get("_path_data_cache")

@@ -20,7 +20,8 @@ from .geometry import (
 )
 from .patterns import pattern_gain, PATTERN_REGISTRY
 from .channel import (render_channels, render_channels_planes,
-                      render_channels_and_grads)
+                      render_channels_and_grads, render_beam_gains,
+                      beam_gain_eligible)
 
 __all__ = [
     "PathData", "ChannelConfig", "AntennaPanel",
@@ -28,5 +29,6 @@ __all__ = [
     "steering_vec", "safe_arccos",
     "pattern_gain", "PATTERN_REGISTRY",
     "render_channels", "render_channels_planes",
-    "render_channels_and_grads",
+    "render_channels_and_grads", "render_beam_gains",
+    "beam_gain_eligible",
 ]

@@ -355,32 +355,20 @@ def _fused_render_eligible(cfg: ChannelConfig) -> bool:
                           no_pack=cfg.kernel_no_pack) > 0
 
 
-def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
-                         valid, powers_lin, gry, grz, gty, gtz):
-    """Fully-fused OFDM render: per-path scalars -> H planes, one kernel.
+def _fused_path_scalars(cfg: ChannelConfig, paths: PathData, valid,
+                        powers_lin):
+    """(amp [U,P], psi [U,S*P], omega [U,P]) for the fused kernels.
 
-    HBM traffic collapses to ~the output tensor; array responses, E, g and
-    matmul partials stay in VMEM (see ops/pallas/render.py). All Doppler
-    snapshots render in the SAME kernel call: per-snapshot phases ride the
-    subcarrier axis, so panel responses and subcarrier tables are built
-    once instead of once per snapshot. ``gry/grz/gty/gtz`` are the RX/TX
-    wave-vector phase steps kd*y', kd*z' in the rotated frame (computed by
-    the caller — from rotated angles, or directly via rotate_unit_vec when
-    no stage needs angle space). Returns one (hr, hi) pair [U, R, T, K]
-    per snapshot.
+    All per-path math runs on FLAT [U*P] views: [U, P] f32 arrays are
+    (8, 128)-tile padded on TPU (a 5.1x physical-bytes tax at P=25), so
+    staying packed until the kernel-boundary reshape cuts the prologue
+    from ~5.4 ms to ~1 ms per 131k-user chunk (benchmarks/SOL.md).
+    Shared by the render and beam-gain entry points.
     """
-    from .pallas.render import fused_render, pick_user_tile
-
     rd = _rd(cfg)
     u, p = paths.delay_s.shape
-
-    # All per-path math runs on FLAT [U*P] views: [U, P] f32 arrays are
-    # (8, 128)-tile padded on TPU (a 5.1x physical-bytes tax at P=25), so
-    # staying packed until the kernel-boundary reshape cuts the prologue
-    # from ~5.4 ms to ~1 ms per 131k-user chunk (benchmarks/SOL.md).
     fl = lambda x: x.reshape(-1)
     valid_f = fl(valid)
-    z = lambda x: jnp.where(valid_f, fl(x), 0.0).astype(rd)
 
     n_fft = cfg.subcarriers
     delay_f = fl(paths.delay_s)
@@ -409,8 +397,32 @@ def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
         psi = jnp.broadcast_to(psi0.reshape(u, 1, p),
                                (u, n_s, p)).reshape(u, n_s * p).astype(rd)
     omega = (omega_base * stride).astype(rd).reshape(u, p)
+    return amp.reshape(u, p), psi, omega
 
+
+def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
+                         valid, powers_lin, gry, grz, gty, gtz):
+    """Fully-fused OFDM render: per-path scalars -> H planes, one kernel.
+
+    HBM traffic collapses to ~the output tensor; array responses, E, g and
+    matmul partials stay in VMEM (see ops/pallas/render.py). All Doppler
+    snapshots render in the SAME kernel call: per-snapshot phases ride the
+    subcarrier axis, so panel responses and subcarrier tables are built
+    once instead of once per snapshot. ``gry/grz/gty/gtz`` are the RX/TX
+    wave-vector phase steps kd*y', kd*z' in the rotated frame (computed by
+    the caller — from rotated angles, or directly via rotate_unit_vec when
+    no stage needs angle space). Returns one (hr, hi) pair [U, R, T, K]
+    per snapshot.
+    """
+    from .pallas.render import fused_render, pick_user_tile
+
+    rd = _rd(cfg)
+    u, p = paths.delay_s.shape
+    valid_f = valid.reshape(-1)
+    z = lambda x: jnp.where(valid_f, x.reshape(-1), 0.0).astype(rd)
+    amp, psi, omega = _fused_path_scalars(cfg, paths, valid, powers_lin)
     n_k = len(cfg.selected_subcarriers)
+    n_s = _fused_n_snap(cfg)
     ut = pick_user_tile(u, cfg.ue_shape, cfg.bs_shape,
                         cfg.num_paths, n_k, n_s,
                         mm_dtype=cfg.matmul_dtype,
@@ -419,7 +431,7 @@ def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
     packed = _packed_layout(cfg)
     sh = lambda x: x.reshape(u, p)
     h = fused_render(sh(z(gry)), sh(z(grz)), sh(z(gty)), sh(z(gtz)),
-                     sh(amp), psi, omega,
+                     amp, psi, omega,
                      cfg.ue_shape, cfg.bs_shape, n_k,
                      user_tile=ut, interpret=interpret,
                      mm_dtype=cfg.matmul_dtype, packed=packed,
@@ -431,6 +443,123 @@ def _render_fused_planes(cfg: ChannelConfig, paths: PathData, bs, ue,
     if packed:                       # [U, Q, 2*S*K] -> [U, R, T, 2*S*K]
         return h.reshape(u, r, t, 2 * n_s * n_k)
     return h.reshape(2, u, r, t, n_s, n_k)
+
+
+def _wavevec_inputs(cfg: ChannelConfig, paths: PathData, bs, ue):
+    """(valid, powers_lin, gry, grz, gty, gtz) for the fused kernels.
+
+    Mirrors the fused branch of :func:`render_channels_planes`: angle
+    space (rotated theta/phi + FoV + pattern gains) is only entered when
+    a stage needs it; otherwise rotate_unit_vec provides the rotated
+    wave-vector components directly on flat [U*P] views.
+    """
+    from .geometry import array_response_phase, rotate_unit_vec
+
+    need_angles = _angles_needed(cfg)
+    if need_angles:
+        aod_theta, aod_phi, aoa_theta, aoa_phi = _rotated_angles(paths, bs,
+                                                                 ue)
+        valid = _fov_valid(cfg, paths.valid, aod_theta, aod_phi,
+                           aoa_theta, aoa_phi)
+        powers_lin = _powers_linear(cfg, paths, valid, aod_theta, aod_phi,
+                                    aoa_theta, aoa_phi)
+    else:
+        valid = paths.valid
+        powers_lin = jnp.where(
+            valid.reshape(-1),
+            jnp.power(10.0, paths.power_dbw.reshape(-1) / 10.0), 0.0)
+
+    kd_ue = 2 * jnp.pi * ue.spacing
+    kd_bs = 2 * jnp.pi * bs.spacing
+    if need_angles:
+        _, gry, grz = array_response_phase(aoa_theta, aoa_phi, kd_ue)
+        _, gty, gtz = array_response_phase(aod_theta, aod_phi, kd_bs)
+    else:
+        flat_ok = (jnp.asarray(ue.rotation_deg).ndim == 1 and
+                   jnp.asarray(bs.rotation_deg).ndim == 1)
+        v = (lambda x: x.reshape(-1)) if flat_ok else (lambda x: x)
+        _, ry, rz = rotate_unit_vec(ue.rotation_deg, v(paths.aoa_el_deg),
+                                    v(paths.aoa_az_deg))
+        _, ty, tz = rotate_unit_vec(bs.rotation_deg, v(paths.aod_el_deg),
+                                    v(paths.aod_az_deg))
+        gry, grz = kd_ue * ry, kd_ue * rz
+        gty, gtz = kd_bs * ty, kd_bs * tz
+    return valid, powers_lin, gry, grz, gty, gtz
+
+
+def beam_gain_eligible(cfg: ChannelConfig, n_beams: int) -> bool:
+    """Static: can beam gains render through the fused consumer kernel?"""
+    from .pallas.beamgain import pick_user_tile_bg
+    if not (cfg.freq_domain and not cfg.rx_filter
+            and cfg.dtype == "complex64" and _k_progression(cfg)):
+        return False
+    return pick_user_tile_bg(0, cfg.ue_shape, cfg.bs_shape, n_beams,
+                             cfg.num_paths,
+                             len(cfg.selected_subcarriers),
+                             _fused_n_snap(cfg),
+                             mm_dtype=cfg.matmul_dtype,
+                             no_pack=cfg.kernel_no_pack) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_beam_gains(paths: PathData, bs: AntennaPanel, ue: AntennaPanel,
+                      cfg: ChannelConfig, wr: jax.Array,
+                      wi: jax.Array) -> jax.Array:
+    """Codebook beam-gain maps G[U, R*B, S*K] WITHOUT materializing H.
+
+    G[u, r, b, k] = |sum_t conj(w[b, t]) H[u, r, t, k]|^2 with the
+    codebook folded INTO the fused path-sum (ops/pallas/beamgain.py):
+    H never reaches HBM, the output shrinks by T/B x2 vs planes, and all
+    per-antenna VPU stages run at B beams instead of T antennas. The
+    reference computes beam maps host-side from full H
+    (reference docs/manual beam-selection examples); this is the
+    TPU-native serving path for beam training / initial access /
+    coverage maps.
+
+    Args:
+        wr/wi: codebook real/imag planes [B, T] (conj applied inside,
+            matching ``abs(h @ codebook.conj().T)**2`` consumer code).
+
+    Falls back to the differentiable XLA oracle on configs whose tile
+    does not fit VMEM. Frequency-domain, arithmetic subcarrier
+    selections only.
+    """
+    from .pallas.beamgain import (fused_beam_gain, beam_gain_reference,
+                                  pick_user_tile_bg)
+
+    if not cfg.freq_domain or not _k_progression(cfg):
+        raise ValueError(
+            "render_beam_gains requires the frequency domain and an "
+            "arithmetic subcarrier selection; render channels and fold "
+            "the codebook downstream for other configs.")
+    paths = paths.trim_paths(cfg.num_paths)
+    valid, powers_lin, gry, grz, gty, gtz = _wavevec_inputs(cfg, paths,
+                                                            bs, ue)
+    u, p = paths.delay_s.shape
+    rd = _rd(cfg)
+    valid_f = valid.reshape(-1)
+    z = lambda x: jnp.where(valid_f, x.reshape(-1), 0.0).astype(rd) \
+        .reshape(u, p)
+    amp, psi, omega = _fused_path_scalars(cfg, paths, valid, powers_lin)
+    n_k = len(cfg.selected_subcarriers)
+    n_s = _fused_n_snap(cfg)
+    n_beams = wr.shape[0]
+    wr = jnp.asarray(wr, rd)
+    wi = jnp.asarray(wi, rd)
+
+    ut = pick_user_tile_bg(u, cfg.ue_shape, cfg.bs_shape, n_beams,
+                           cfg.num_paths, n_k, n_s,
+                           mm_dtype=cfg.matmul_dtype,
+                           no_pack=cfg.kernel_no_pack)
+    args = (z(gry), z(grz), z(gty), z(gtz), amp, psi, omega, wr, wi,
+            cfg.ue_shape, cfg.bs_shape, n_k)
+    if ut == 0 or cfg.backend not in ("pallas", "fused"):
+        return beam_gain_reference(*args)
+    interpret = jax.default_backend() == "cpu"
+    return fused_beam_gain(*args, user_tile=ut, interpret=interpret,
+                           mm_dtype=cfg.matmul_dtype,
+                           no_pack=cfg.kernel_no_pack,
+                           pack_first=cfg.kernel_pack_first)
 
 
 def polar_fused_eligible(cfg: ChannelConfig, n_pol: int = 4) -> bool:

@@ -81,7 +81,29 @@ def main():
                   f"spacing={float(params[1]):.4f}  "
                   f"mean-best/mean gain={served:.2f}x", flush=True)
 
-    print("done — codebook learned through the differentiable renderer")
+    # Serving: evaluate the LEARNED codebook over the scenario through
+    # the fused render->consume kernel — the codebook folds into the
+    # path-sum and H is never materialized (ops/pallas/beamgain.py;
+    # benchmarks/run_beamgain_bench.py measures the speedup vs
+    # render-then-read at 131k users).
+    from deepmimo_tpu.ops.channel import render_beam_gains
+    phases, spacing = params
+    w = np.exp(1j * np.asarray(phases)) / np.sqrt(N_ANT)
+    bs = AntennaPanel(rotation_deg=jnp.zeros(3), spacing=spacing)
+    g_fused = render_beam_gains(
+        paths, bs, ue, cfg,
+        jnp.asarray(np.real(w), jnp.float32),
+        jnp.asarray(np.imag(w), jnp.float32))    # [U, B, K]
+    g_ref = beam_gains(*params)                  # [U, B] (K = 1 here)
+    agree = float(jnp.mean(
+        (jnp.argmax(g_fused[:, :, 0], axis=1) ==
+         jnp.argmax(g_ref, axis=1)).astype(jnp.float32)))
+    print(f"fused serving sweep: G{tuple(g_fused.shape)}, best-beam "
+          f"agreement with the training-path gains: {agree:.3f}")
+    assert agree > 0.99, "fused beam gains disagree with the train path"
+
+    print("done — codebook learned through the differentiable renderer; "
+          "served through the fused consumer kernel")
 
 
 if __name__ == "__main__":
