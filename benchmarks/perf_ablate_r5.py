@@ -43,18 +43,18 @@ def _t(fn):
     return time.perf_counter() - t0
 
 
-def run_config(name, u, rx_shape, tx_shape, n_k, t_rt, variants):
+def run_config(name, u, rx_shape, tx_shape, n_k, t_rt, variants, n_s=1):
     q = rx_shape[0] * rx_shape[1] * tx_shape[0] * tx_shape[1]
     rng = np.random.RandomState(0)
     mk = lambda *s: jnp.asarray(rng.uniform(-3, 3, s).astype(np.float32))
     gry, grz = mk(u, P), mk(u, P)
     gty, gtz = mk(u, P), mk(u, P)
     amp = jnp.abs(mk(u, P)) * 1e-4
-    psi = mk(u, P)
+    psi = mk(u, n_s * P)
     omega = jnp.abs(mk(u, P)) * 0.1
-    ut = R.pick_user_tile(u, rx_shape, tx_shape, P, n_k)
-    out_gb = u * q * 2 * n_k * 4 / 1e9
-    log(f"== {name}: u={u} q={q} n_k={n_k} ut={ut} "
+    ut = R.pick_user_tile(u, rx_shape, tx_shape, P, n_k, n_s)
+    out_gb = u * q * 2 * n_s * n_k * 4 / 1e9
+    log(f"== {name}: u={u} q={q} n_k={n_k} n_s={n_s} ut={ut} "
         f"out={out_gb:.2f} GB/dispatch ==")
 
     results = {}
@@ -70,7 +70,7 @@ def run_config(name, u, rx_shape, tx_shape, n_k, t_rt, variants):
                                       mm_dtype=_mm, packed=True,
                                       out_dtype=_odt)
             f = jax.jit(_step, donate_argnums=(7,))
-            h = jnp.zeros((u, q, 2 * n_k), jnp.dtype(odt))
+            h = jnp.zeros((u, q, 2 * n_s * n_k), jnp.dtype(odt))
             h = f(gry, grz, gty, gtz, amp, psi, omega, h)
             float(jax.device_get(h[-1, -1, -1].astype(jnp.float32)))
 
@@ -124,6 +124,21 @@ def main():
                variants)
     run_config("config3 MIMO 8x64", 16_384, (4, 2), (8, 8), 64, t_rt,
                variants)
+    # BASELINE configs 2 and 5 (round-4 VERDICT weak #2: name the binder
+    # with a measurement). Pruned variant list: the structural ablations.
+    pruned = [
+        ("full", "float32", "float32"),
+        ("mm-default", "default", "float32"),
+        ("bf16-out", "float32", "bfloat16"),
+        ("notables", "float32", "float32"),
+        ("nopanel", "float32", "float32"),
+        ("nodot", "float32", "float32"),
+        ("writeonly", "float32", "float32"),
+    ]
+    run_config("config2 SISO 512sc", 131_072, (1, 1), (1, 1), 512, t_rt,
+               pruned)
+    run_config("config5 doppler16", 65_536, (1, 1), (8, 8), 8, t_rt,
+               pruned, n_s=16)   # out 2*S*K = 256 lanes: 4.3 GB/dispatch
     log("done")
 
 

@@ -86,24 +86,32 @@ def bench_tpu(data, spec):
         enable_doppler=bool(spec.get("doppler")),
         doppler_times=tuple(np.linspace(0, 1e-2, spec.get("n_times", 1)))
         if spec.get("doppler") else (0.0,),
-        dtype="complex64", backend="fused")
+        dtype="complex64", backend="fused",
+        # The PRODUCT default (config singleton) — the bare ChannelConfig
+        # dataclass default is "stacked", which this sweep silently used
+        # through round 4: config 3's stacked minor dim is 64 lanes, the
+        # ~8x output-DMA-penalty layout, and it alone read ~500k users/s
+        # (~16 ms/block = 13 ms of misaligned writes + 4 ms kernel) while
+        # the packed kernel slope-times at ~2.2 M (perf_cfg3_dispatch.py).
+        planes_layout="packed")
     bs = AntennaPanel.make(spec.get("bs_rot", (0, 0, 0)))
     ue = AntennaPanel.make()
     paths = PathData.from_numpy(**data, dtype=jnp.float32)
 
     # Block size bounded by output-tensor HBM footprint. Big blocks
     # matter: per-dispatch cost is real on this relay, so a 32-block
-    # sweep is dispatch-bound (round-4's config 3 recorded 497k users/s
-    # at 8,192-user blocks while the kernel's slope-timed speed is
-    # 1.3-1.9 M users/s at 16,384-user dispatches — perf_ablate_r5.py).
-    # Donation keeps ONE output buffer live, so ~8 GB of planes per
-    # block (before the pow2 floor) fits comfortably in 16 GB HBM.
+    # sweep is dispatch-bound. A 4 GB budget is the empirical ceiling:
+    # an 8 GB budget (16,384-user config-3 blocks) OOMs inside the sweep
+    # even though the identical single dispatch passes standalone — the
+    # relay runtime appears not to honor donation aliasing across the
+    # warmup + sweep sequence, so budget for scratch + result pairs.
     q = int(np.prod(spec["bs_shape"]) * np.prod(spec["ue_shape"]))
     lastdim = (len(spec["k"]) if spec["freq_domain"] else MAX_PATHS) * \
         spec.get("n_times", 1)
-    block = min(N_UE, max(4096, int(8e9 / (q * lastdim * 8))))
+    block = min(N_UE, max(4096, int(4e9 / (q * lastdim * 8))))
     block = 1 << int(np.log2(block))
     n_blocks = max(N_UE // block, 1)
+    print(f"  [tpu] block={block} n_blocks={n_blocks}", flush=True)
 
     from deepmimo_tpu.ops.channel import render_channels_planes
     # Slice inside jit: eager slice_users costs ~5 ms/block in dispatch.
@@ -138,7 +146,17 @@ def bench_tpu(data, spec):
         float(jax.device_get(out[(-1,) * out.ndim]))
 
     best = min(_timed(sweep) for _ in range(3))
-    return n_blocks * block / max(best - t_rt, 1e-9)
+    ups = n_blocks * block / max(best - t_rt, 1e-9)
+    # Free this config's device buffers BEFORE the next config allocates
+    # its (multi-GB, donated) output pair: with the 8 GB block budget the
+    # sweep otherwise accumulates ~9+ GB across configs and OOMs (the
+    # relay processes deletions asynchronously — the tiny sync op flushes
+    # them before returning).
+    import gc
+    del out, dev_paths
+    gc.collect()
+    float(jax.device_get(f_tiny(tiny)))
+    return ups
 
 
 def _timed(fn):
@@ -189,6 +207,24 @@ def bench_reference(data, spec):
     return (n / times[1], n / times[-1], n / times[0])
 
 
+ACCOUNTING = """
+## Per-config accounting: what binds each number
+
+Slope-timed production-kernel ablations, same-run interleaved
+(`benchmarks/perf_ablate_r5.py`, `perf_cfg3_dispatch.py`; method in
+SOL.md round-5 correction). Within-run window drift up to 1.5x means the
+table above is a typical-window sample, not a constant of nature.
+
+| config | binding resource (measured) |
+|---|---|
+| 1 SISO narrowband TD | XLA time-domain path; trivial output — relay window dominates (5.2-13.3M users/s across same-day sweeps) |
+| 2 OFDM 512 sc SISO | VPU subcarrier-table construction: `notables` drops 32.6 -> 7.5 ms (~77%); the q=1 MXU dot rows are 2/128 full (`nodot` 10.1 ms); output trivial (16 GB/s). An FFT-based SISO special path is the known next lever |
+| 3 MIMO 8x64 | OUTPUT WRITES at ~570-620 GB/s with the packed layout (`writeonly` 7.3 ms = `full` 7.5 ms per 16k users); through round 4 this sweep silently used the stacked dataclass-default layout whose 64-lane minor writes at ~1/8 rate — that alone was the old 0.5M-vs-2.2M gap |
+| 4 MIMO + FoV + dipole | fused kernel + angle-space prologue (pattern gains + FoV force rotated-angle computation; `_angles_needed`) |
+| 5 Doppler 16 snapshots | output-store pipeline at ~250-260 GB/s: every ablation incl. `writeonly` times the same 16.4-18.5 ms/65k users — store-bound with zero visible compute |
+"""
+
+
 def _training_section():
     """Regenerate the training-step section from training_bench.json so
     ONE script rebuilds the whole RESULTS.md (VERDICT r2 item 8)."""
@@ -210,8 +246,8 @@ def _training_section():
         " reference VJP\n\n"
         f"{r['workload']}\n"
         "(`benchmarks/run_training_bench.py`, shipped entry point "
-        "`parallel.training_step_planes`; readback-synced, relay RT "
-        "subtracted).\n\n"
+        "`parallel.training_step_planes`; 6-step slope timing, relay "
+        "RT subtracted once).\n\n"
         "| step | time | users/s |\n|---|---|---|\n"
         f"| forward only (fused) | {t_f*1e3:.1f} ms | "
         f"{32768 / t_f / 1e6:.2f} M |\n"
@@ -283,6 +319,7 @@ def main():
                      if ref else "n/a (no Doppler in reference)")
             sp_s = f"{sp:,.0f}x" if sp else "-"
             f.write(f"| {name} | {ref_s} | {tpu:,.0f} | {sp_s} |\n")
+        f.write(ACCOUNTING)
         f.write(_training_section())
     print(f"wrote {OUT}")
 

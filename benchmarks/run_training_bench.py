@@ -84,25 +84,37 @@ def main():
             return training_step_planes(p, pa, tg, cfg, LR)
         return step
 
+    # Slope timing (round-5 correction): single-call readbacks on this
+    # relay OVERLAP execution with the ~25 ms round-trip and under-report
+    # anything shorter — N chained steps + one loss readback instead.
+    N = 6
+
     def time_step(step):
         _, loss = step(params, paths, target)              # compile + warm
         l0 = float(jax.device_get(loss))
         assert np.isfinite(l0) and l0 > 0, l0
         best = None
         for _ in range(3):
+            p = params
             t0 = time.perf_counter()
-            _, loss = step(params, paths, target)
+            for _ in range(N):
+                p, loss = step(p, paths, target)
             float(jax.device_get(loss))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        return max(best - t_rt, 1e-9), l0
+        return max(best - t_rt, 1e-9) / N, l0
 
-    # Forward-only reference point.
+    # Forward-only reference point (same N-call slope).
     log("compiling forward-only loss...")
     fwd = jax.jit(lambda p, pa, tg: calib_loss_planes(p, pa, tg, cfg))
     float(jax.device_get(fwd(params, paths, target)))
-    t_fwd = min(_timed(lambda: float(jax.device_get(
-        fwd(params, paths, target)))) for _ in range(3)) - t_rt
+
+    def fwd_sweep():
+        r = None
+        for _ in range(N):
+            r = fwd(params, paths, target)
+        float(jax.device_get(r))
+    t_fwd = (min(_timed(fwd_sweep) for _ in range(3)) - t_rt) / N
     log(f"forward-only {t_fwd:.4f}s; compiling pallas-bwd step...")
 
     t_pallas, loss_p = time_step(make_step())
@@ -123,6 +135,7 @@ def main():
         "workload": f"{U} users x {MAX_PATHS} paths, 64-ant BS, "
                     f"{len(SEL_SC)} of {N_FFT} subcarriers, packed planes",
         "relay_rt_s": round(t_rt, 4),
+        "timing": f"{N}-step slope (chained params), rt subtracted once",
         "forward_only_s": round(t_fwd, 4),
         "train_step_pallas_bwd_s": round(t_pallas, 4),
         "train_step_xla_bwd_s": round(t_xla, 4),
