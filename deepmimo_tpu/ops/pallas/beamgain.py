@@ -135,6 +135,7 @@ def _bg_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
         split, dot_at = _slice_dot_mode(mm_dtype, dn, n_paths)
         ea, ga = split(e2), split(g2)
 
+    skp = g_ref.shape[-1]                  # sk padded to a 128 multiple
     for res in range(group):
         m = dot(e2p, g2p) if group == 1 else dot_at(ea, ga, res * n_paths)
         rows = slice(res * ug, (res + 1) * ug)
@@ -145,7 +146,17 @@ def _bg_kernel(cgry_ref, sgry_ref, cgrz_ref, sgrz_ref, cgty_ref, sgty_ref,
         v = m[:, :qb, :] + jnp.where(lane2 < sk, -rolled, rolled)
         yr = v[:, :, :sk]
         yi = v[:, :, sk:]
-        g_ref[rows] = (yr * yr + yi * yi).astype(g_ref.dtype)
+        g_val = (yr * yr + yi * yi).astype(g_ref.dtype)
+        if skp != sk:
+            # Zero-pad the stored minor dim to a 128-lane multiple: a
+            # 64-lane minor stores at ~1/8 HBM rate on this stack (the
+            # same penalty the render kernel's packed layout avoids);
+            # padded lanes cost bytes but keep the DMA aligned. The
+            # wrapper slices [..., :sk] off the result.
+            g_val = jnp.concatenate(
+                [g_val, jnp.zeros((ug, qb, skp - sk), g_ref.dtype)],
+                axis=2)
+        g_ref[rows] = g_val
 
 
 def _bg_kernel_norx(cgty_ref, sgty_ref, cgtz_ref, sgtz_ref, amp_ref,
@@ -200,7 +211,7 @@ def fused_beam_gain(gry, grz, gty, gtz, amp, psi, omega, wr, wi,
                     rx_shape: Tuple[int, int], tx_shape: Tuple[int, int],
                     n_k: int, user_tile: int = 16, interpret: bool = False,
                     mm_dtype: str = "float32", no_pack=None,
-                    pack_first=None) -> jax.Array:
+                    pack_first=None, pad_store: bool = False) -> jax.Array:
     """Beam-gain maps G[U, R*B, n_s*n_k] from per-path scalars + codebook.
 
     Args match :func:`render.fused_render` (same prologue contract: zeroed
@@ -240,6 +251,13 @@ def fused_beam_gain(gry, grz, gty, gtz, amp, psi, omega, wr, wi,
 
     l1 = _best_l1(n_k)
     sk = n_s * n_k
+    # Stored minor dim. pad_store=True pads it to a 128-lane multiple
+    # (aligned stores, 2x bytes, sliced off the result); measured
+    # perf-NEUTRAL at the headline shape (10.72 vs 10.84 ms/dispatch,
+    # benchmarks/perf_bg_pad.py) because the small G store hides under
+    # the VPU compute exactly like the render kernel's H write — so the
+    # simpler raw-sk store is the default.
+    skp = _ceil_to(sk, 128) if pad_store else sk
     qb = r * nb_
     t = tx_shape[0] * tx_shape[1]
     spec_up = pl.BlockSpec((ug, lanes), lambda i: (i, 0),
@@ -251,7 +269,7 @@ def fused_beam_gain(gry, grz, gty, gtz, amp, psi, omega, wr, wi,
                             memory_space=pltpu.VMEM)
     spec_w = pl.BlockSpec((nb_, t), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((user_tile, qb, sk), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((user_tile, qb, skp), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_bg_kernel_norx if skip_rx else _bg_kernel,
                              rx_shape=rx_shape, tx_shape=tx_shape,
@@ -267,8 +285,9 @@ def fused_beam_gain(gry, grz, gty, gtz, amp, psi, omega, wr, wi,
         in_specs=[spec_up] * n_ph + [spec_amp] + [spec_psi] * 2 +
                  [spec_up] * 2 + [spec_w] * 2,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((u_pad, qb, sk), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((u_pad, qb, skp), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(est),
     )(*args, wr.astype(jnp.float32), wi.astype(jnp.float32))
-    return out if u_pad == u else out[:u]
+    out = out[:u] if u_pad != u else out
+    return out[..., :sk] if skp != sk else out
