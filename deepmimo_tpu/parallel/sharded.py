@@ -88,6 +88,32 @@ def render_polar_sharded(paths: PathData, bs: AntennaPanel,
     return _render_polar_sharded(paths, bs, ue, cfg, pol_p, pol_ph, mesh)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _render_beamgain_sharded(paths, bs, ue, cfg, wr, wi, mesh):
+    from ..ops.channel import render_beam_gains
+    g = render_beam_gains(paths, bs, ue, cfg, wr, wi)   # [U, R*B, S*K]
+    spec = (USERS_AXIS, None, TILE_AXIS)
+    return jax.lax.with_sharding_constraint(g, NamedSharding(mesh, P(*spec)))
+
+
+def render_beam_gains_sharded(paths: PathData, bs: AntennaPanel,
+                              ue: AntennaPanel, cfg: ChannelConfig,
+                              wr, wi, mesh: Mesh) -> jax.Array:
+    """Fused beam-gain maps with users sharded across the mesh.
+
+    The render->consume path (codebook folded into the path-sum, H never
+    materialized — ops/pallas/beamgain.py) is per-user independent, so
+    users shard with zero forward collectives; the small [B, T] codebook
+    planes replicate. Output G [U, R*B, S*K] shards users over the dp
+    axis, the subcarrier axis over the tile axis.
+    """
+    paths = shard_paths(paths, mesh)
+    rep = replicated(mesh)
+    wr = jax.device_put(jnp.asarray(wr), rep)
+    wi = jax.device_put(jnp.asarray(wi), rep)
+    return _render_beamgain_sharded(paths, bs, ue, cfg, wr, wi, mesh)
+
+
 # ============================================================================
 # Distributed differentiable calibration (the "training step")
 # ============================================================================

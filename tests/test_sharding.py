@@ -211,3 +211,26 @@ def test_polar_sharded_matches_single_device():
     # And the unpack produces the per-pol complex quadruple
     hq = unpack_polar_planes_np(np.asarray(out), CFG, 4)
     assert hq.shape[0] == 4 and np.isfinite(hq).all()
+
+
+def test_beamgain_sharded_matches_single_device():
+    """Fused beam-gain consumer sharded over users == unsharded."""
+    from deepmimo_tpu.parallel import render_beam_gains_sharded
+    from deepmimo_tpu.ops.channel import render_beam_gains
+
+    paths = _paths(n_ue=16)
+    bs, ue = AntennaPanel.make((10, 0, 30)), AntennaPanel.make()
+    rng = np.random.RandomState(6)
+    t = CFG.n_tx_ant
+    w = np.exp(1j * rng.uniform(-np.pi, np.pi, (4, t))) / np.sqrt(t)
+    wr = jnp.asarray(np.real(w), jnp.float32)
+    wi = jnp.asarray(np.imag(w), jnp.float32)
+
+    ref = np.asarray(render_beam_gains(paths, bs, ue, CFG, wr, wi))
+    mesh = make_mesh()
+    out = render_beam_gains_sharded(paths, bs, ue, CFG, wr, wi, mesh)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6 * ref.max())
+    # Users axis genuinely sharded across the mesh
+    n_users_axis = dict(zip(mesh.axis_names, mesh.devices.shape))["users"]
+    shard_rows = {s.data.shape[0] for s in out.addressable_shards}
+    assert shard_rows == {16 // n_users_axis}
