@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deepmimo_tpu.ops.pallas import render as R
 
-U, P, N_K, N = 131_072, 25, 64, 6
+U, P, N_K, N = 65_536, 25, 64, 6   # half chunk: both variants' outputs must fit HBM together
 TX = (8, 8)
 Q = 64
 SK = N_K

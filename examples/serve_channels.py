@@ -77,6 +77,20 @@ def main():
     quad = ds3.compute_channels(params)
     print("dual-polar:", {k: v.shape for k, v in quad.items()})
 
+    # 4. beam-gain serving: codebook folded into the fused kernel, the
+    #    full H tensor never materialized (the beam-training primitive).
+    params["enable_dual_polar"] = 0
+    n_tx = 64
+    rng = np.random.RandomState(3)
+    codebook = np.exp(1j * rng.uniform(-np.pi, np.pi, (16, n_tx))) \
+        / np.sqrt(n_tx)
+    G = ds.compute_beam_gains(params, codebook=codebook)
+    best = G.sum(axis=-1).argmax(axis=-1)[:, 0]     # per-user best beam
+    expect = np.abs(np.einsum("bt,urtk->urbk", codebook.conj(), H)) ** 2
+    print(f"beam gains: {G.shape}, best-beam histogram "
+          f"{np.bincount(best, minlength=16).tolist()}, "
+          f"allclose={np.allclose(G, expect, atol=1e-5 * expect.max())}")
+
 
 if __name__ == "__main__":
     main()
