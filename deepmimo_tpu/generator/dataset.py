@@ -1229,47 +1229,79 @@ class MacroDataset:
                 params, to_device=to_device, out=out)
             return res if to_device else [res]
 
-        combined = getattr(self, "_batched_cache", None)
+        combined = self._combined_dataset()
         sizes = [d.n_ue for d in self.datasets]
-        if combined is None:
-            keys = [c.POWER_PARAM_NAME, c.PHASE_PARAM_NAME,
-                    c.DELAY_PARAM_NAME, c.AOA_AZ_PARAM_NAME,
-                    c.AOA_EL_PARAM_NAME, c.AOD_AZ_PARAM_NAME,
-                    c.AOD_EL_PARAM_NAME]
-            have_doppler = all(
-                d.get(c.DOPPLER_VEL_PARAM_NAME) is not None
-                for d in self.datasets)
-            if have_doppler:
-                keys += [c.DOPPLER_VEL_PARAM_NAME, c.DOPPLER_ACC_PARAM_NAME]
-            pmax = max(np.asarray(d[c.POWER_PARAM_NAME]).shape[1]
-                       for d in self.datasets)
-
-            def cat(key):
-                arrs = []
-                for d in self.datasets:
-                    a = np.asarray(d[key], dtype=np.float32)
-                    if a.shape[1] < pmax:
-                        a = np.pad(a, ((0, 0), (0, pmax - a.shape[1])),
-                                   constant_values=np.nan)
-                    arrs.append(a)
-                return np.concatenate(arrs, axis=0)
-
-            data = {k: cat(k) for k in keys}
-            data[c.RX_POS_PARAM_NAME] = np.concatenate(
-                [np.asarray(d[c.RX_POS_PARAM_NAME], np.float32)
-                 for d in self.datasets], axis=0)
-            data[c.TX_POS_PARAM_NAME] = np.asarray(
-                self.datasets[0][c.TX_POS_PARAM_NAME], np.float32)
-            combined = Dataset(data)
-            for k in ("bs_fov", "ue_fov"):
-                v = self.datasets[0].get(k)
-                if v is not None:
-                    combined[k] = v
-            self._batched_cache = combined
-
         ch = combined.compute_channels(params, to_device=to_device,
                                        out=out)
         if to_device:
             return ch
         offs = np.cumsum([0] + sizes)
         return [ch[offs[i]:offs[i + 1]] for i in range(len(sizes))]
+
+    def _combined_dataset(self) -> "Dataset":
+        """Children's path matrices concatenated on the user axis (path
+        slots NaN-padded to the widest child); cached."""
+        combined = getattr(self, "_batched_cache", None)
+        if combined is not None:
+            return combined
+        keys = [c.POWER_PARAM_NAME, c.PHASE_PARAM_NAME,
+                c.DELAY_PARAM_NAME, c.AOA_AZ_PARAM_NAME,
+                c.AOA_EL_PARAM_NAME, c.AOD_AZ_PARAM_NAME,
+                c.AOD_EL_PARAM_NAME]
+        have_doppler = all(
+            d.get(c.DOPPLER_VEL_PARAM_NAME) is not None
+            for d in self.datasets)
+        if have_doppler:
+            keys += [c.DOPPLER_VEL_PARAM_NAME, c.DOPPLER_ACC_PARAM_NAME]
+        pmax = max(np.asarray(d[c.POWER_PARAM_NAME]).shape[1]
+                   for d in self.datasets)
+
+        def cat(key):
+            arrs = []
+            for d in self.datasets:
+                a = np.asarray(d[key], dtype=np.float32)
+                if a.shape[1] < pmax:
+                    a = np.pad(a, ((0, 0), (0, pmax - a.shape[1])),
+                               constant_values=np.nan)
+                arrs.append(a)
+            return np.concatenate(arrs, axis=0)
+
+        data = {k: cat(k) for k in keys}
+        data[c.RX_POS_PARAM_NAME] = np.concatenate(
+            [np.asarray(d[c.RX_POS_PARAM_NAME], np.float32)
+             for d in self.datasets], axis=0)
+        data[c.TX_POS_PARAM_NAME] = np.asarray(
+            self.datasets[0][c.TX_POS_PARAM_NAME], np.float32)
+        combined = Dataset(data)
+        for k in ("bs_fov", "ue_fov"):
+            v = self.datasets[0].get(k)
+            if v is not None:
+                combined[k] = v
+        self._batched_cache = combined
+        return combined
+
+    def compute_beam_gains_batched(self, params=None, codebook=None,
+                                   to_device: bool = False):
+        """Beam-gain maps for EVERY child dataset in one fused dispatch.
+
+        Multi-TX beam sweep (one codebook evaluated against every TX's
+        users) through the render->consume kernel: children concatenate
+        on the user axis like :meth:`compute_channels_batched` and the
+        full H of any child is never materialized. Returns a list of
+        per-child ``[n_ue, R, B, K]`` maps — or, with ``to_device``, the
+        combined raw device array (children stacked on the user axis).
+        """
+        if not self.datasets:
+            raise IndexError("MacroDataset is empty")
+        if len(self.datasets) == 1:
+            res = self.datasets[0].compute_beam_gains(
+                params, codebook=codebook, to_device=to_device)
+            return res if to_device else [res]
+        combined = self._combined_dataset()
+        sizes = [d.n_ue for d in self.datasets]
+        g = combined.compute_beam_gains(params, codebook=codebook,
+                                        to_device=to_device)
+        if to_device:
+            return g
+        offs = np.cumsum([0] + sizes)
+        return [g[offs[i]:offs[i + 1]] for i in range(len(sizes))]

@@ -484,3 +484,38 @@ def test_macro_dataset_batched_render(tmp_path):
     p[c.PARAMSET_POLAR_EN] = 1
     with pytest.raises(ValueError, match="dual-polar"):
         macro.compute_channels_batched(p)
+
+
+def test_macro_dataset_batched_beam_gains(tmp_path):
+    """MacroDataset.compute_beam_gains_batched == per-child beam gains.
+
+    Multi-TX beam sweep through the fused render->consume kernel: the
+    children concatenate on the user axis and H never materializes.
+    """
+    from deepmimo_tpu.generator.dataset import MacroDataset
+    from scenario_utils import write_synthetic_scenario
+
+    children = []
+    for i, (n, mp, grid) in enumerate([(16, 6, (4, 4)), (8, 4, (4, 2))]):
+        folder = str(tmp_path / f"bg{i}")
+        write_synthetic_scenario(folder, n_ue=n, max_paths=mp, seed=40 + i,
+                                 grid=grid)
+        children.append(dm.load(folder))
+    macro = MacroDataset(children)
+
+    def params():
+        p = dm.ChannelGenParameters()
+        p[c.PARAMSET_ANT_BS][c.PARAMSET_ANT_SHAPE] = np.array([4, 2])
+        p[c.PARAMSET_OFDM][c.PARAMSET_OFDM_SC_SAMP] = np.arange(8)
+        return p
+
+    rng = np.random.RandomState(9)
+    w = np.exp(1j * rng.uniform(-np.pi, np.pi, (4, 8))) / np.sqrt(8)
+
+    batched = macro.compute_beam_gains_batched(params(), codebook=w)
+    assert len(batched) == 2
+    for child, g in zip(children, batched):
+        ref = child.compute_beam_gains(params(), codebook=w)
+        assert g.shape == ref.shape == (child.n_ue, 1, 4, 8)
+        scale = max(ref.max(), 1e-30)
+        np.testing.assert_allclose(g, ref, atol=1e-5 * scale)
