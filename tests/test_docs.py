@@ -67,3 +67,27 @@ def test_doc_examples_name_real_attributes():
     from deepmimo_tpu.utils import profiling
     for attr in ("StageTimer", "xla_trace", "renderer_roofline"):
         assert hasattr(profiling, attr), attr
+
+
+def test_manual_notebook_in_sync():
+    """docs/manual.ipynb is GENERATED from docs/manual.md (the reference
+    ships its manual as a notebook); the committed notebook must match a
+    fresh regeneration so the two can never drift."""
+    import json
+    import os
+    import sys
+
+    docs = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs")
+    sys.path.insert(0, docs)
+    try:
+        import make_manual_ipynb as gen
+    finally:
+        sys.path.remove(docs)
+    with open(os.path.join(docs, "manual.md")) as f:
+        fresh = gen.build_notebook(f.read())
+    with open(os.path.join(docs, "manual.ipynb")) as f:
+        committed = json.load(f)
+    assert committed == fresh
+    kinds = [c["cell_type"] for c in committed["cells"]]
+    assert "code" in kinds and "markdown" in kinds
