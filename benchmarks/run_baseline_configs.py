@@ -218,7 +218,7 @@ table above is a typical-window sample, not a constant of nature.
 | config | binding resource (measured) |
 |---|---|
 | 1 SISO narrowband TD | XLA time-domain path; trivial output — relay window dominates (5.2-13.3M users/s across same-day sweeps) |
-| 2 OFDM 512 sc SISO | VPU subcarrier-table construction: `notables` drops 32.6 -> 7.5 ms (~77%); the q=1 MXU dot rows are 2/128 full (`nodot` 10.1 ms); output trivial (16 GB/s). An FFT-based SISO special path is the known next lever |
+| 2 OFDM 512 sc SISO | VPU subcarrier-table construction: `notables` drops 32.6 -> 7.5 ms (~77%); the q=1 MXU dot rows are 2/128 full (`nodot` 10.1 ms); output trivial (16 GB/s). exact per-(path, subcarrier) work is inherent for fractional delays (an FFT route would need approximate delay gridding) |
 | 3 MIMO 8x64 | OUTPUT WRITES at ~570-620 GB/s with the packed layout (`writeonly` 7.3 ms = `full` 7.5 ms per 16k users); through round 4 this sweep silently used the stacked dataclass-default layout whose 64-lane minor writes at ~1/8 rate — that alone was the old 0.5M-vs-2.2M gap |
 | 4 MIMO + FoV + dipole | fused kernel + angle-space prologue (pattern gains + FoV force rotated-angle computation; `_angles_needed`) |
 | 5 Doppler 16 snapshots | output-store pipeline at ~250-260 GB/s: every ablation incl. `writeonly` times the same 16.4-18.5 ms/65k users — store-bound with zero visible compute |
