@@ -23,8 +23,10 @@ B beams instead of T antennas. Shares the packed-32 lane layout, the
 phasor recurrences, the subcarrier tables and the hi/lo concat-dot with
 the render kernel.
 
-Gradients: use :func:`beam_gain_reference` (pure XLA, differentiable)
-— codebook LEARNING is small-batch; this kernel is the serving path.
+Gradients: :func:`fused_beam_gain` carries a custom VJP whose backward
+routes through :func:`beam_gain_reference` (pure XLA) — codebook
+LEARNING is small-batch, so the reference VJP's HBM appetite is fine;
+the fused kernel stays the serving fast path.
 """
 
 from __future__ import annotations
@@ -207,6 +209,8 @@ def pick_user_tile_bg(u: int, rx_shape, tx_shape, n_beams: int, p: int,
     return picked
 
 
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16, 17))
 def fused_beam_gain(gry, grz, gty, gtz, amp, psi, omega, wr, wi,
                     rx_shape: Tuple[int, int], tx_shape: Tuple[int, int],
                     n_k: int, user_tile: int = 16, interpret: bool = False,
@@ -217,8 +221,21 @@ def fused_beam_gain(gry, grz, gty, gtz, amp, psi, omega, wr, wi,
     Args match :func:`render.fused_render` (same prologue contract: zeroed
     invalid paths, psi [U, S*P] for Doppler snapshots) plus the codebook
     planes ``wr/wi`` [B, T]. Output is REAL f32 power — no planes pair,
-    no H. Not differentiable (use :func:`beam_gain_reference`).
+    no H. Differentiable: the custom VJP routes the backward through the
+    XLA reference (codebook learning is small-batch; this kernel is the
+    serving fast path).
     """
+    return _fused_beam_gain_impl(gry, grz, gty, gtz, amp, psi, omega, wr,
+                                 wi, rx_shape, tx_shape, n_k, user_tile,
+                                 interpret, mm_dtype, no_pack, pack_first,
+                                 pad_store)
+
+
+def _fused_beam_gain_impl(gry, grz, gty, gtz, amp, psi, omega, wr, wi,
+                          rx_shape, tx_shape, n_k, user_tile=16,
+                          interpret=False, mm_dtype="float32",
+                          no_pack=None, pack_first=None,
+                          pad_store=False) -> jax.Array:
     u, p = omega.shape
     n_s = psi.shape[1] // p
     nb_ = wr.shape[0]
@@ -291,3 +308,26 @@ def fused_beam_gain(gry, grz, gty, gtz, amp, psi, omega, wr, wi,
     )(*args, wr.astype(jnp.float32), wi.astype(jnp.float32))
     out = out[:u] if u_pad != u else out
     return out[..., :sk] if skp != sk else out
+
+
+def _bg_fwd(gry, grz, gty, gtz, amp, psi, omega, wr, wi, rx_shape,
+            tx_shape, n_k, user_tile, interpret, mm_dtype, no_pack,
+            pack_first, pad_store):
+    out = _fused_beam_gain_impl(gry, grz, gty, gtz, amp, psi, omega, wr,
+                                wi, rx_shape, tx_shape, n_k, user_tile,
+                                interpret, mm_dtype, no_pack, pack_first,
+                                pad_store)
+    return out, (gry, grz, gty, gtz, amp, psi, omega, wr, wi)
+
+
+def _bg_bwd(rx_shape, tx_shape, n_k, user_tile, interpret, mm_dtype,
+            no_pack, pack_first, pad_store, res, ct):
+    """Backward via the XLA reference: recompute + jax.vjp. G consumers
+    (codebook learning) run at small batch, so the reference VJP's HBM
+    appetite is acceptable — the fused kernel stays the serving path."""
+    _, vjp = jax.vjp(
+        lambda *a: beam_gain_reference(*a, rx_shape, tx_shape, n_k), *res)
+    return vjp(ct.astype(jnp.float32))
+
+
+fused_beam_gain.defvjp(_bg_fwd, _bg_bwd)
