@@ -278,7 +278,8 @@ class Dataset(DotDict):
 
     def compute_beam_gains(self, params: Optional[ChannelGenParameters]
                            = None, codebook=None,
-                           to_device: bool = False) -> np.ndarray:
+                           to_device: bool = False,
+                           out=None) -> np.ndarray:
         """Codebook beam-gain maps G = |conj(W) . H|^2 without H.
 
         The fused consumer path (ops/pallas/beamgain.py): the codebook
@@ -292,6 +293,9 @@ class Dataset(DotDict):
                 (wr, wi) tuple of real/imag planes. Gains match
                 ``np.abs(H @ codebook.conj().T)**2``.
             to_device: return the raw device array [U, R*B, S*K].
+            out: optional device array from a previous identical call;
+                its buffer is donated so serving loops run in constant
+                device memory (mirrors ``compute_channels(out=)``).
 
         Returns [n_ue, n_rx_ant, n_beams, K] float32 (an extra trailing
         time axis for multi-snapshot Doppler).
@@ -325,8 +329,20 @@ class Dataset(DotDict):
 
         from ..ops.channel import render_beam_gains
         pd = self._path_data(cfg)
-        g = render_beam_gains(pd, bs_panel, ue_panel, cfg,
-                              jnp.asarray(wr), jnp.asarray(wi))
+        wr_d, wi_d = jnp.asarray(wr), jnp.asarray(wi)
+        g_shape = (self.n_ue,
+                   cfg.n_rx_ant * wr.shape[0],
+                   (len(cfg.doppler_times) if cfg.enable_doppler else 1)
+                   * cfg.n_sel_subcarriers)
+        if out is not None and (tuple(out.shape) != g_shape
+                                or str(out.dtype) != "float32"):
+            out = None                   # config changed: nothing to donate
+        if out is not None:
+            g = _beamgain_jit_donate(pd, bs_panel, ue_panel, cfg, wr_d,
+                                     wi_d, out)
+        else:
+            g = render_beam_gains(pd, bs_panel, ue_panel, cfg, wr_d,
+                                  wi_d)
         if to_device:
             return g
         arr = np.asarray(jax.device_get(g))
@@ -868,6 +884,15 @@ def _render_out_shape(path_data, bs_panel, ue_panel, cfg):
             lambda p, b, u: _render_ri(p, b, u, cfg),
             path_data, bs_panel, ue_panel)
     return _OUT_SHAPE_MEMO[key]
+
+
+@functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(6,))
+def _beamgain_jit_donate(pd, bs_panel, ue_panel, cfg, wr, wi, scratch):
+    """Donating beam-gain render: ``scratch`` (a previous output) is
+    reused so back-to-back serving sweeps run in constant device memory."""
+    del scratch
+    from ..ops.channel import render_beam_gains
+    return render_beam_gains(pd, bs_panel, ue_panel, cfg, wr, wi)
 
 
 @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(4,))

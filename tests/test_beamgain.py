@@ -159,3 +159,43 @@ def test_fused_beam_gain_differentiable():
         user_tile=8, interpret=True)))(args[4])
     assert bool(jnp.isfinite(g_amp).all())
     assert float(jnp.abs(g_amp).max()) > 0
+
+
+def test_compute_beam_gains_donated_serving_loop():
+    """out= donates the previous beam-gain buffer (constant device
+    memory serving, mirroring compute_channels)."""
+    import deepmimo_tpu as dm
+
+    rng = np.random.RandomState(11)
+    U, P = 24, 6
+    mat = lambda lo, hi: rng.uniform(lo, hi, (U, P)).astype(np.float32)
+    ds = dm.Dataset({
+        "power": mat(-120, -60), "phase": mat(-180, 180),
+        "delay": mat(1e-7, 2e-6),
+        "aoa_az": mat(-180, 180), "aoa_el": mat(0, 180),
+        "aod_az": mat(-180, 180), "aod_el": mat(0, 180),
+        "rx_pos": np.zeros((U, 3), np.float32),
+        "tx_pos": np.zeros((1, 3), np.float32),
+    })
+    params = dm.ChannelGenParameters()
+    params["bs_antenna"]["shape"] = np.array([4, 2])
+    params["num_paths"] = P
+    params["ofdm"]["selected_subcarriers"] = np.arange(16)
+    w = np.exp(1j * rng.uniform(-np.pi, np.pi, (4, 8))) / np.sqrt(8)
+
+    ref = ds.compute_beam_gains(params, codebook=w)
+    g = None
+    for _ in range(3):
+        g = ds.compute_beam_gains(params, codebook=w, to_device=True,
+                                  out=g)
+    got = np.asarray(jax.device_get(g)).reshape(U, 1, 4, 1, 16)[:, :, :,
+                                                                0, :]
+    np.testing.assert_allclose(got, ref, atol=1e-6 * ref.max())
+
+    # a mismatched out is ignored, not crashed on
+    bad = jnp.zeros((U, 2, 16), jnp.float32)
+    g2 = ds.compute_beam_gains(params, codebook=w, to_device=True,
+                               out=bad)
+    got2 = np.asarray(jax.device_get(g2)).reshape(U, 1, 4, 1, 16)[:, :,
+                                                                  :, 0, :]
+    np.testing.assert_allclose(got2, ref, atol=1e-6 * ref.max())
