@@ -163,12 +163,15 @@ def main():
         del g
         return time.perf_counter() - t0
 
-    res = {"A_fused_consumer": [], "B_device_consume": [],
-           "C_host_readback": []}
+    skip_host = bool(int(os.environ.get("SKIP_HOST", "0")))
+    res = {"A_fused_consumer": [], "B_device_consume": []}
+    if not skip_host:
+        res["C_host_readback"] = []
     for rep in range(3):
         res["A_fused_consumer"].append(sweep_a())
         res["B_device_consume"].append(sweep_b())
-        res["C_host_readback"].append(sweep_c())
+        if not skip_host:
+            res["C_host_readback"].append(sweep_c())
         log(f"rep {rep} done")
 
     out = {"workload": f"{U} users x {P} paths, 64-ant BS, {N_BEAMS} "
@@ -185,11 +188,17 @@ def main():
             f"{U/per/1e6:6.2f} M users/s")
     a = out["A_fused_consumer"]["users_per_s"]
     b = out["B_device_consume"]["users_per_s"]
-    c_ = out["C_host_readback"]["users_per_s"]
     out["fused_vs_device_consume"] = round(a / b, 2)
-    out["fused_vs_host_readback"] = round(a / c_, 2)
-    log(f"fused vs device-consume: {a/b:.2f}x; "
-        f"vs host-readback: {a/c_:.2f}x")
+    if not skip_host:
+        c_ = out["C_host_readback"]["users_per_s"]
+        out["fused_vs_host_readback"] = round(a / c_, 2)
+        log(f"fused vs device-consume: {a/b:.2f}x; "
+            f"vs host-readback: {a/c_:.2f}x")
+    else:
+        log(f"fused vs device-consume: {a/b:.2f}x (host route skipped)")
+    if skip_host:
+        return                      # A/B reconfirmation run: keep the
+                                    # full 3-route artifact on disk
     with open(OUT, "w") as f:
         json.dump(out, f, indent=2)
     log(f"wrote {OUT}")
