@@ -76,6 +76,18 @@ def analyze(n_devices):
     fwd_hlo = fwd.lower(paths, bs, ue, cfg).compile().as_text()
     fwd_coll = count_collectives(fwd_hlo)
 
+    # Fused beam-gain consumer sharded over users: like the forward, it
+    # is per-user independent (replicated codebook), so the compiled
+    # program must also carry zero collectives.
+    from deepmimo_tpu.ops.channel import render_beam_gains
+    rng = np.random.RandomState(0)
+    w = np.exp(1j * rng.uniform(-np.pi, np.pi, (16, 64)))
+    wr = jnp.asarray(np.real(w), jnp.float32)
+    wi = jnp.asarray(np.imag(w), jnp.float32)
+    bg = jax.jit(render_beam_gains, static_argnames=("cfg",))
+    bg_hlo = bg.lower(paths, bs, ue, cfg, wr, wi).compile().as_text()
+    bg_coll = count_collectives(bg_hlo)
+
     step, place = make_sharded_training_step(mesh, cfg, lr=1e-3)
     params = init_calib_params(paths, bs, ue)
     target = fwd(paths, bs, ue, cfg)
@@ -89,15 +101,16 @@ def analyze(n_devices):
     payload = sum(np.asarray(x).nbytes
                   for x in (params.bs.rotation_deg, params.bs.spacing,
                             params.ue.rotation_deg, params.ue.spacing))
-    return fwd_coll, step_coll, payload
+    return fwd_coll, bg_coll, step_coll, payload
 
 
 def main():
     rows = []
     for nd in (2, 4, 8):
-        fwd_coll, step_coll, payload = analyze(nd)
-        rows.append((nd, fwd_coll, step_coll, payload))
+        fwd_coll, bg_coll, step_coll, payload = analyze(nd)
+        rows.append((nd, fwd_coll, bg_coll, step_coll, payload))
         print(f"devices={nd}  forward collectives={fwd_coll or 'NONE'}  "
+              f"beam-gain collectives={bg_coll or 'NONE'}  "
               f"train-step collectives={step_coll}  "
               f"shared-grad payload={payload} B", flush=True)
 
@@ -105,10 +118,12 @@ def main():
         f.write("# Scaling analysis: collectives in the compiled SPMD "
                 "program\n\n")
         f.write(__doc__.split("Writes")[0].split("\n", 1)[1] + "\n")
-        f.write("| devices | forward collectives | training-step "
-                "collectives | shared-grad payload |\n|---|---|---|---|\n")
-        for nd, fc, sc, pl in rows:
-            f.write(f"| {nd} | {fc if fc else 'none'} | {sc} | {pl} B |\n")
+        f.write("| devices | forward collectives | beam-gain "
+                "collectives | training-step collectives | shared-grad "
+                "payload |\n|---|---|---|---|---|\n")
+        for nd, fc, bc, sc, pl in rows:
+            f.write(f"| {nd} | {fc if fc else 'none'} | "
+                    f"{bc if bc else 'none'} | {sc} | {pl} B |\n")
     print(f"wrote {OUT}")
 
 
