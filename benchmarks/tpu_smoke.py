@@ -108,6 +108,7 @@ def build_variants():
     vs.append(("beamgain_rx21_doppler",
                cfg(ue_shape=(2, 1), enable_doppler=True,
                    doppler_times=(0, 1e-3)), "beamgain", True))
+    vs.append(("beamgain_polar", cfg(), "beamgain_polar", True))
     # XLA fallback paths the product can also dispatch (compile on chip)
     vs.append(("xla_time_domain", cfg(freq_domain=False), "fwd", False))
     vs.append(("xla_lpf_rx_filter", cfg(rx_filter=True,
@@ -136,6 +137,8 @@ def run_variants(tag=""):
                     and bool(C._k_progression(cfg))
             elif kind == "polar":
                 elig = C.polar_fused_eligible(cfg, 4)
+            elif kind == "beamgain_polar":
+                elig = C.beam_gain_eligible(cfg, 16)
             else:
                 elig = C.beam_gain_eligible(cfg, 16)
             if bool(elig) != expect_fused:
@@ -173,6 +176,18 @@ def run_variants(tag=""):
                 h = C.render_channels_planes_polar(paths, bs, ue, cfg,
                                                    pol_p, pol_ph)
                 ok = bool(jnp.isfinite(h.astype(jnp.float32)).all())
+            elif kind == "beamgain_polar":
+                t_ant = cfg.n_tx_ant
+                w = np.exp(1j * rng.uniform(-np.pi, np.pi, (16, t_ant)))
+                pol_p = jnp.asarray(rng.uniform(
+                    -120, -70, (4, u, cfg.num_paths)), jnp.float32)
+                pol_ph = jnp.asarray(rng.uniform(
+                    -180, 180, (4, u, cfg.num_paths)), jnp.float32)
+                g = C.render_beam_gains_polar(
+                    paths, bs, ue, cfg, pol_p, pol_ph,
+                    jnp.asarray(np.real(w), jnp.float32),
+                    jnp.asarray(np.imag(w), jnp.float32))
+                ok = bool(jnp.isfinite(g).all())
             else:   # beamgain
                 t_ant = cfg.n_tx_ant
                 w = np.exp(1j * rng.uniform(-np.pi, np.pi, (16, t_ant)))

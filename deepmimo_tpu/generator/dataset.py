@@ -228,22 +228,7 @@ class Dataset(DotDict):
 
         if polar_fused_eligible(cfg, len(pols)):
             pd = self._path_data(cfg)
-            # Device-cached pol stacks: serving loops re-call
-            # compute_channels back-to-back, and re-staging the
-            # [4, U, P] power/phase stacks through the host every call
-            # costs far more than the render itself on relay-attached
-            # runtimes (measured 703 ms vs 44 ms at 32k users).
-            cached = self.get("_polar_data_cache")
-            if cached is None:
-                pol_p = jnp.asarray(np.stack(
-                    [_np(self[f"power_{p.lower()}"]) for p in pols]))
-                pol_ph = jnp.asarray(np.stack(
-                    [_np(self.get(f"phase_{p.lower()}",
-                                  self[c.PHASE_PARAM_NAME]))
-                     for p in pols]))
-                cached = (pol_p, pol_ph)
-                self["_polar_data_cache"] = cached
-            pol_p, pol_ph = cached
+            pol_p, pol_ph = self._polar_stacks(pols)
             res = _render_polar_streamed(pd, bs_panel, ue_panel, cfg,
                                          pol_p, pol_ph,
                                          to_device=to_device, out=out)
@@ -276,6 +261,23 @@ class Dataset(DotDict):
             channels[pol] = _render_streamed(pd, bs_panel, ue_panel, cfg)
         return channels
 
+    def _polar_stacks(self, pols=("VV", "VH", "HH", "HV")):
+        """Device-cached [N_pol, U, P] power/phase stacks: serving loops
+        re-call back-to-back, and re-staging through the host every call
+        costs far more than the render itself on relay-attached runtimes
+        (measured 703 ms vs 44 ms at 32k users)."""
+        cached = self.get("_polar_data_cache")
+        if cached is None:
+            pol_p = jnp.asarray(np.stack(
+                [_np(self[f"power_{p.lower()}"]) for p in pols]))
+            pol_ph = jnp.asarray(np.stack(
+                [_np(self.get(f"phase_{p.lower()}",
+                              self[c.PHASE_PARAM_NAME]))
+                 for p in pols]))
+            cached = (pol_p, pol_ph)
+            self["_polar_data_cache"] = cached
+        return cached
+
     def compute_beam_gains(self, params: Optional[ChannelGenParameters]
                            = None, codebook=None,
                            to_device: bool = False,
@@ -298,7 +300,11 @@ class Dataset(DotDict):
                 device memory (mirrors ``compute_channels(out=)``).
 
         Returns [n_ue, n_rx_ant, n_beams, K] float32 (an extra trailing
-        time axis for multi-snapshot Doppler).
+        time axis for multi-snapshot Doppler). Dual-polar scenarios with
+        ``params['enable_dual_polar']=1`` return a per-polarization dict
+        {'VV','VH','HH','HV'} of such maps, ALL computed in one fused
+        dispatch (pol axis on the kernel slot axis; H never exists for
+        any polarization).
         """
         if codebook is None:
             raise ValueError("compute_beam_gains requires a codebook "
@@ -327,9 +333,39 @@ class Dataset(DotDict):
                 f"codebook must be [n_beams, {cfg.n_tx_ant}] for this "
                 f"antenna config; got {wr.shape}")
 
-        from ..ops.channel import render_beam_gains
         pd = self._path_data(cfg)
         wr_d, wi_d = jnp.asarray(wr), jnp.asarray(wi)
+
+        if params.get(c.PARAMSET_POLAR_EN, 0):
+            # Dual-polar beam gains: pol axis on the kernel slot axis +
+            # codebook folded into the path-sum — one dispatch, no H for
+            # any polarization. Returns {pol: [U, R, B, K(, S)]}.
+            pols = ("VV", "VH", "HH", "HV")
+            missing = [pq for pq in pols
+                       if f"power_{pq.lower()}" not in super().keys()]
+            if missing:
+                raise ValueError(
+                    "Dual-polarization beam gains need per-polarization "
+                    f"matrices for {missing} (keys like 'power_vv').")
+            from ..ops.channel import render_beam_gains_polar
+            pol_p, pol_ph = self._polar_stacks(pols)
+            g = render_beam_gains_polar(pd, bs_panel, ue_panel, cfg,
+                                        pol_p, pol_ph, wr_d, wi_d)
+            if to_device:
+                return g
+            arr = np.asarray(jax.device_get(g))
+            r, b = cfg.n_rx_ant, wr.shape[0]
+            n_s = (len(cfg.doppler_times) if cfg.enable_doppler else 1)
+            n_k = cfg.n_sel_subcarriers
+            arr = arr.reshape(self.n_ue, r, b, len(pols), n_s, n_k)
+            out_pols = {}
+            for ip, pq in enumerate(pols):
+                gi = arr[:, :, :, ip]
+                out_pols[pq] = (gi.transpose(0, 1, 2, 4, 3)
+                                if n_s > 1 else gi[:, :, :, 0])
+            return out_pols
+
+        from ..ops.channel import render_beam_gains
         g_shape = (self.n_ue,
                    cfg.n_rx_ant * wr.shape[0],
                    (len(cfg.doppler_times) if cfg.enable_doppler else 1)

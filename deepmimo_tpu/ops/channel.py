@@ -587,36 +587,17 @@ def _polar_packed_layout(cfg: ChannelConfig, n_pol: int = 4) -> bool:
             and sk % 64 == 0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def render_channels_planes_polar(paths: PathData, bs: AntennaPanel,
-                                 ue: AntennaPanel, cfg: ChannelConfig,
-                                 pol_power_dbw: jax.Array,
-                                 pol_phase_deg: jax.Array) -> jax.Array:
-    """All polarizations in ONE fused dispatch (dual-polar device path).
+def _polar_fused_inputs(cfg: ChannelConfig, paths: PathData, bs, ue,
+                        pol_power_dbw, pol_phase_deg):
+    """Shared dual-polar prologue for the fused render/beam-gain paths.
 
-    The reference renders {VV, VH, HH, HV} as four independent generator
-    passes (deepmimo_v3/generator/python/generator.py:71-78) — 4x the
-    rotation/FoV/pattern/panel work. Here the polarization axis rides the
-    fused kernel's snapshot axis: rotations, FoV masks, pattern gains,
-    panel phasor recurrences and subcarrier tables are computed ONCE
-    (angles and delays are shared across polarizations — v3 semantics);
-    only the per-path amplitude/phase fold-in differs per polarization
-    via the kernel's per-snapshot amp support.
-
-    Args:
-        paths: shared geometry (angles/delays/Doppler); its own
-            power/phase fields are ignored.
-        pol_power_dbw / pol_phase_deg: [N_pol, U, P] per-polarization
-            power (dBW) and phase (deg) matrices.
-
-    Returns (pol-major on the folded axis, s_total = pol * S + s):
-        packed layout: [U, R, T, 2 * N_pol * S * K] — hr planes for all
-        (pol, s, k) in the first minor half, hi in the second.
-        stacked: [2, U, R, T, N_pol, S, K].
-    Unpack host-side with :func:`unpack_polar_planes_np`.
+    Returns (u, p, gry, grz, gty, gtz, amp [U, st*P], psi [U, st*P],
+    omega [U, P], st = n_pol * n_snapshots) with the wave-vector steps
+    already zero-masked and [U, P]-shaped, and the per-polarization
+    amplitudes/phases stacked pol-major on the kernel slot axis
+    (angles/delays are shared across polarizations — v3 semantics).
     """
     from .geometry import array_response_phase, rotate_unit_vec
-    from .pallas.render import fused_render, pick_user_tile
 
     paths = paths.trim_paths(cfg.num_paths)
     n_pol = pol_power_dbw.shape[0]
@@ -657,7 +638,7 @@ def render_channels_planes_polar(paths: PathData, bs: AntennaPanel,
     # Shared per-path scalars (flat [U*P] views — see _render_fused_planes)
     fl = lambda x: x.reshape(-1)
     valid_f = fl(valid)
-    z = lambda x: jnp.where(valid_f, fl(x), 0.0).astype(rd)
+    z = lambda x: jnp.where(valid_f, fl(x), 0.0).astype(rd).reshape(u, p)
     n_fft = cfg.subcarriers
     delay_f = fl(paths.delay_s)
     delay_n = delay_f * cfg.bandwidth
@@ -698,15 +679,96 @@ def render_channels_planes_polar(paths: PathData, bs: AntennaPanel,
     to_uspp = lambda xs: (jnp.stack(xs).reshape(st, u, p)
                           .transpose(1, 0, 2).reshape(u, st * p))
     amp, psi = to_uspp(amps), to_uspp(psis)
+    return (u, p, z(gry), z(grz), z(gty), z(gtz), amp, psi, omega, st)
 
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_beam_gains_polar(paths: PathData, bs: AntennaPanel,
+                            ue: AntennaPanel, cfg: ChannelConfig,
+                            pol_power_dbw: jax.Array,
+                            pol_phase_deg: jax.Array,
+                            wr: jax.Array, wi: jax.Array) -> jax.Array:
+    """Per-polarization beam-gain maps G[U, R*B, N_pol*S*K], ONE dispatch.
+
+    Composes the two single-dispatch tricks: the polarization axis rides
+    the kernel slot axis with per-slot amplitudes AND phases (the
+    dual-polar layout), while the codebook folds into the path-sum so no
+    polarization's H is ever materialized. The reference would run four
+    full generator passes and fold host-side. Slot axis is pol-major
+    (slot = pol * S + s); slice G[..., ip*S*K:(ip+1)*S*K] per
+    polarization.
+    """
+    from .pallas.beamgain import (fused_beam_gain, beam_gain_reference,
+                                  pick_user_tile_bg)
+
+    if not cfg.freq_domain or not _k_progression(cfg):
+        raise ValueError(
+            "render_beam_gains_polar requires the frequency domain and "
+            "an arithmetic subcarrier selection.")
+    (u, p, gry, grz, gty, gtz, amp, psi, omega,
+     st) = _polar_fused_inputs(cfg, paths, bs, ue, pol_power_dbw,
+                               pol_phase_deg)
+    n_k = len(cfg.selected_subcarriers)
+    rd = _rd(cfg)
+    n_beams = wr.shape[0]
+    wr = jnp.asarray(wr, rd)
+    wi = jnp.asarray(wi, rd)
+    ut = pick_user_tile_bg(u, cfg.ue_shape, cfg.bs_shape, n_beams,
+                           cfg.num_paths, n_k, st,
+                           mm_dtype=cfg.matmul_dtype,
+                           no_pack=cfg.kernel_no_pack)
+    args = (gry, grz, gty, gtz, amp, psi, omega, wr, wi,
+            cfg.ue_shape, cfg.bs_shape, n_k)
+    if ut == 0 or cfg.backend not in ("pallas", "fused"):
+        return beam_gain_reference(*args)
+    interpret = jax.default_backend() == "cpu"
+    return fused_beam_gain(*args, user_tile=ut, interpret=interpret,
+                           mm_dtype=cfg.matmul_dtype,
+                           no_pack=cfg.kernel_no_pack,
+                           pack_first=cfg.kernel_pack_first)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_channels_planes_polar(paths: PathData, bs: AntennaPanel,
+                                 ue: AntennaPanel, cfg: ChannelConfig,
+                                 pol_power_dbw: jax.Array,
+                                 pol_phase_deg: jax.Array) -> jax.Array:
+    """All polarizations in ONE fused dispatch (dual-polar device path).
+
+    The reference renders {VV, VH, HH, HV} as four independent generator
+    passes (deepmimo_v3/generator/python/generator.py:71-78) — 4x the
+    rotation/FoV/pattern/panel work. Here the polarization axis rides the
+    fused kernel's snapshot axis: rotations, FoV masks, pattern gains,
+    panel phasor recurrences and subcarrier tables are computed ONCE
+    (angles and delays are shared across polarizations — v3 semantics);
+    only the per-path amplitude/phase fold-in differs per polarization
+    via the kernel's per-snapshot amp support.
+
+    Args:
+        paths: shared geometry (angles/delays/Doppler); its own
+            power/phase fields are ignored.
+        pol_power_dbw / pol_phase_deg: [N_pol, U, P] per-polarization
+            power (dBW) and phase (deg) matrices.
+
+    Returns (pol-major on the folded axis, s_total = pol * S + s):
+        packed layout: [U, R, T, 2 * N_pol * S * K] — hr planes for all
+        (pol, s, k) in the first minor half, hi in the second.
+        stacked: [2, U, R, T, N_pol, S, K].
+    Unpack host-side with :func:`unpack_polar_planes_np`.
+    """
+    from .pallas.render import fused_render, pick_user_tile
+
+    (u, p, gry, grz, gty, gtz, amp, psi, omega,
+     st) = _polar_fused_inputs(cfg, paths, bs, ue, pol_power_dbw,
+                               pol_phase_deg)
+    n_pol = pol_power_dbw.shape[0]
     n_k = len(cfg.selected_subcarriers)
     ut = pick_user_tile(u, cfg.ue_shape, cfg.bs_shape, cfg.num_paths,
                         n_k, st, mm_dtype=cfg.matmul_dtype,
                         no_pack=cfg.kernel_no_pack)
     interpret = jax.default_backend() == "cpu"
     packed = _polar_packed_layout(cfg, n_pol)
-    sh = lambda x: x.reshape(u, p)
-    h = fused_render(sh(z(gry)), sh(z(grz)), sh(z(gty)), sh(z(gtz)),
+    h = fused_render(gry, grz, gty, gtz,
                      amp, psi, omega, cfg.ue_shape, cfg.bs_shape, n_k,
                      user_tile=ut, interpret=interpret,
                      mm_dtype=cfg.matmul_dtype, packed=packed,
@@ -717,6 +779,7 @@ def render_channels_planes_polar(paths: PathData, bs: AntennaPanel,
     t = cfg.bs_shape[0] * cfg.bs_shape[1]
     if packed:
         return h.reshape(u, r, t, 2 * st * n_k)
+    n_s = st // n_pol
     return h.reshape(2, u, r, t, n_pol, n_s, n_k)
 
 

@@ -199,3 +199,62 @@ def test_compute_beam_gains_donated_serving_loop():
     got2 = np.asarray(jax.device_get(g2)).reshape(U, 1, 4, 1, 16)[:, :,
                                                                   :, 0, :]
     np.testing.assert_allclose(got2, ref, atol=1e-6 * ref.max())
+
+
+def test_polar_beam_gains_match_per_pol_fold():
+    """render_beam_gains_polar == |conj(W).H_pol|^2 per polarization,
+    through the product dual-polar dict (one fused dispatch, no H)."""
+    import deepmimo_tpu as dm
+    from deepmimo_tpu.ops.channel import render_beam_gains_polar
+
+    rng = np.random.RandomState(7)
+    U, P = 24, 8
+    n_valid = rng.randint(1, P + 1, size=U)
+    mask = np.arange(P)[None, :] < n_valid[:, None]
+
+    def mat(lo, hi):
+        a = rng.uniform(lo, hi, (U, P)).astype(np.float32)
+        return np.where(mask, a, np.nan).astype(np.float32)
+
+    base = {
+        "power": mat(-120, -60), "phase": mat(-180, 180),
+        "delay": mat(1e-7, 2e-6),
+        "aoa_az": mat(-180, 180), "aoa_el": mat(0, 180),
+        "aod_az": mat(-180, 180), "aod_el": mat(0, 180),
+        "rx_pos": np.zeros((U, 3), np.float32),
+        "tx_pos": np.zeros((1, 3), np.float32),
+    }
+    ds = dm.Dataset(dict(base))
+    for pol in ("vv", "vh", "hh", "hv"):
+        ds[f"power_{pol}"] = mat(-115, -65)
+        ds[f"phase_{pol}"] = mat(-180, 180)
+
+    params = dm.ChannelGenParameters()
+    params["bs_antenna"]["shape"] = np.array([4, 2])
+    params["num_paths"] = P
+    params["ofdm"]["selected_subcarriers"] = np.arange(16)
+    params["enable_dual_polar"] = 1
+
+    B, T = 4, 8
+    rngw = np.random.RandomState(8)
+    w = np.exp(1j * rngw.uniform(-np.pi, np.pi, (B, T))) / np.sqrt(T)
+
+    gq = ds.compute_beam_gains(params, codebook=w)
+    assert set(gq) == {"VV", "VH", "HH", "HV"}
+
+    quad = ds.compute_channels(params)          # {pol: [U, R, T, K]}
+    for pol in gq:
+        expect = np.abs(np.einsum("bt,urtk->urbk", w.conj(),
+                                  quad[pol])) ** 2
+        scale = max(expect.max(), 1e-30)
+        assert gq[pol].shape == expect.shape
+        np.testing.assert_allclose(gq[pol], expect, atol=1e-3 * scale)
+
+    # Raw device layout: one array, slot axis pol-major
+    g_raw = ds.compute_beam_gains(params, codebook=w, to_device=True)
+    assert g_raw.shape == (U, B, 4 * 16)
+
+    # Missing pol matrices raise loudly
+    ds2 = dm.Dataset(dict(base))
+    with pytest.raises(ValueError, match="per-polarization"):
+        ds2.compute_beam_gains(params, codebook=w)
