@@ -89,6 +89,36 @@ def render_polar_sharded(paths: PathData, bs: AntennaPanel,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _render_beamgain_polar_sharded(paths, bs, ue, cfg, pol_p, pol_ph,
+                                   wr, wi, mesh):
+    from ..ops.channel import render_beam_gains_polar
+    g = render_beam_gains_polar(paths, bs, ue, cfg, pol_p, pol_ph, wr, wi)
+    spec = (USERS_AXIS, None, TILE_AXIS)
+    return jax.lax.with_sharding_constraint(g, NamedSharding(mesh, P(*spec)))
+
+
+def render_beam_gains_polar_sharded(paths: PathData, bs: AntennaPanel,
+                                    ue: AntennaPanel, cfg: ChannelConfig,
+                                    pol_power_dbw, pol_phase_deg,
+                                    wr, wi, mesh: Mesh) -> jax.Array:
+    """Dual-polar beam-gain maps (one dispatch, no H) with users sharded.
+
+    The [N_pol, U, P] polarization stacks shard on their user axis
+    alongside PathData; the codebook planes replicate. Zero forward
+    collectives like every per-user-independent render here.
+    """
+    paths = shard_paths(paths, mesh)
+    sh = NamedSharding(mesh, P(None, USERS_AXIS, None))
+    pol_p = jax.device_put(jnp.asarray(pol_power_dbw), sh)
+    pol_ph = jax.device_put(jnp.asarray(pol_phase_deg), sh)
+    rep = replicated(mesh)
+    wr = jax.device_put(jnp.asarray(wr), rep)
+    wi = jax.device_put(jnp.asarray(wi), rep)
+    return _render_beamgain_polar_sharded(paths, bs, ue, cfg, pol_p,
+                                          pol_ph, wr, wi, mesh)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def _render_beamgain_sharded(paths, bs, ue, cfg, wr, wi, mesh):
     from ..ops.channel import render_beam_gains
     g = render_beam_gains(paths, bs, ue, cfg, wr, wi)   # [U, R*B, S*K]

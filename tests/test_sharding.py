@@ -234,3 +234,32 @@ def test_beamgain_sharded_matches_single_device():
     n_users_axis = dict(zip(mesh.axis_names, mesh.devices.shape))["users"]
     shard_rows = {s.data.shape[0] for s in out.addressable_shards}
     assert shard_rows == {16 // n_users_axis}
+
+
+def test_polar_beamgain_sharded_matches_single_device():
+    """Dual-polar beam gains sharded over users == unsharded."""
+    from deepmimo_tpu.parallel import render_beam_gains_polar_sharded
+    from deepmimo_tpu.ops.channel import render_beam_gains_polar
+
+    paths = _paths(n_ue=16)
+    bs, ue = AntennaPanel.make((10, 0, 30)), AntennaPanel.make()
+    rng = np.random.RandomState(8)
+    u, p = 16, 6
+    pol_p = rng.uniform(-120, -70, (4, u, p)).astype(np.float32)
+    pol_ph = rng.uniform(-180, 180, (4, u, p)).astype(np.float32)
+    t = CFG.n_tx_ant
+    w = np.exp(1j * rng.uniform(-np.pi, np.pi, (4, t))) / np.sqrt(t)
+    wr = jnp.asarray(np.real(w), jnp.float32)
+    wi = jnp.asarray(np.imag(w), jnp.float32)
+
+    ref = np.asarray(render_beam_gains_polar(
+        paths, bs, ue, CFG, jnp.asarray(pol_p), jnp.asarray(pol_ph),
+        wr, wi))
+    mesh = make_mesh()
+    out = render_beam_gains_polar_sharded(paths, bs, ue, CFG, pol_p,
+                                          pol_ph, wr, wi, mesh)
+    np.testing.assert_allclose(np.asarray(out), ref,
+                               atol=1e-6 * max(ref.max(), 1e-30))
+    n_users_axis = dict(zip(mesh.axis_names, mesh.devices.shape))["users"]
+    shard_rows = {s.data.shape[0] for s in out.addressable_shards}
+    assert shard_rows == {16 // n_users_axis}
